@@ -1,0 +1,135 @@
+"""Candidate-pair generation, gold labeling, Levi hypernym filter
+(SURVEY §2.3 J1/J2/J3, §2.7 U2).
+
+Reference semantics:
+- J1 per-document chemical x disease cartesian product
+  (cdr_dataset.py:156-173, 248-263) — in Spark an equi-join on the doc
+  key whose output is the within-doc cross product; NEVER a global
+  cross join.
+- J2 gold-pair membership labeling (cdr_dataset.py:158).
+- J3 Levi negative filtering (cdr_dataset.py:227-242): a negative pair
+  (c, d) is REJECTED iff, looping over d's MeSH tree numbers ``neg_node``:
+    (a) some gold pair (c, d') with the SAME chemical has a tree number
+        of d' that CONTAINS ``neg_node`` as a substring
+        (`neg_node in pos_node`, cdr_dataset.py:238), OR
+    (b) some gold pair (c', d) with the SAME disease has a tree number
+        of c' containing ``neg_node`` (cdr_dataset.py:239).
+  Substring — not prefix-at-dot-boundary — containment is reproduced
+  verbatim (SURVEY §7 hard part #1).
+
+Scale notes: the containment predicate is a theta-join, but it only runs
+AFTER an equi-join on (doc, shared endpoint) against the per-doc gold
+set, so each side is tiny per document; Catalyst evaluates the contains()
+as a post-join filter on the equi-join output.  The MeSH tree multimap is
+broadcast.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def candidate_pairs(inventory: DataFrame) -> DataFrame:
+    """Per-doc chemical x disease pairs from the entity inventory.
+
+    inventory: (url, mesh_id, positions, rep_text, type).
+    Returns (url, chem_mesh, dis_mesh, chem_positions, dis_positions,
+    chem_text, dis_text).
+    """
+    chems = inventory.where(F.col("type") == "Chemical").select(
+        "url",
+        F.col("mesh_id").alias("chem_mesh"),
+        F.col("positions").alias("chem_positions"),
+        F.col("rep_text").alias("chem_text"),
+    )
+    dis = inventory.where(F.col("type") == "Disease").select(
+        "url",
+        F.col("mesh_id").alias("dis_mesh"),
+        F.col("positions").alias("dis_positions"),
+        F.col("rep_text").alias("dis_text"),
+    )
+    # equi-join on url == per-doc cartesian product (J1)
+    return chems.join(dis, "url")
+
+
+def label_pairs(pairs: DataFrame, gold: DataFrame) -> DataFrame:
+    """label=1 iff (url, chem, dis) is a gold CID pair (J2).
+
+    gold: (url, chem_mesh, dis_mesh).  Left join + when — broadcast when
+    the gold side is small (test/eval mode only; production has no gold).
+    """
+    g = gold.select("url", "chem_mesh", "dis_mesh", F.lit(1).alias("label"))
+    return pairs.join(g, ["url", "chem_mesh", "dis_mesh"], "left").fillna(
+        {"label": 0}
+    )
+
+
+def levi_reject(pairs_labeled: DataFrame, gold: DataFrame, tree_map: DataFrame) -> DataFrame:
+    """Rows of ``pairs_labeled`` rejected by the hypernym rule (for tests);
+    use ``levi_filter`` to drop them from the pipeline.
+
+    tree_map: (mesh_id, tree_numbers array<string>) — broadcast dimension.
+    """
+    neg = pairs_labeled.where(F.col("label") == 0).select(
+        "url", "chem_mesh", "dis_mesh"
+    )
+    # explode the negative DISEASE's tree numbers (reference loops over
+    # ent_tree_map[neg_e2] only, cdr_dataset.py:237)
+    neg_t = (
+        neg.join(
+            F.broadcast(tree_map).withColumnRenamed("mesh_id", "dis_mesh"), "dis_mesh"
+        )
+        .select("url", "chem_mesh", "dis_mesh", F.explode("tree_numbers").alias("neg_node"))
+    )
+
+    gold_dis_trees = (
+        gold.join(
+            F.broadcast(tree_map).withColumnRenamed("mesh_id", "dis_mesh"), "dis_mesh"
+        )
+        .select(
+            "url",
+            F.col("chem_mesh").alias("g_chem"),
+            F.explode("tree_numbers").alias("pos_node"),
+        )
+    )
+    gold_chem_trees = (
+        gold.join(
+            F.broadcast(tree_map).withColumnRenamed("mesh_id", "chem_mesh"), "chem_mesh"
+        )
+        .select(
+            "url",
+            F.col("dis_mesh").alias("g_dis"),
+            F.explode("tree_numbers").alias("pos_node"),
+        )
+    )
+
+    # (a) same chemical, gold disease tree contains neg disease tree
+    rej_a = neg_t.join(
+        gold_dis_trees,
+        (neg_t.url == gold_dis_trees.url)
+        & (neg_t.chem_mesh == gold_dis_trees.g_chem)
+        & gold_dis_trees.pos_node.contains(neg_t.neg_node),
+        "left_semi",
+    )
+    # (b) same disease, gold chemical tree contains neg disease tree
+    rej_b = neg_t.join(
+        gold_chem_trees,
+        (neg_t.url == gold_chem_trees.url)
+        & (neg_t.dis_mesh == gold_chem_trees.g_dis)
+        & gold_chem_trees.pos_node.contains(neg_t.neg_node),
+        "left_semi",
+    )
+    return (
+        rej_a.select("url", "chem_mesh", "dis_mesh")
+        .unionByName(rej_b.select("url", "chem_mesh", "dis_mesh"))
+        .distinct()
+    )
+
+
+def levi_filter(pairs_labeled: DataFrame, gold: DataFrame, tree_map: DataFrame) -> DataFrame:
+    """Drop hypernym-rejected negatives (anti-join, cdr_dataset.py:250-252)."""
+    rejected = levi_reject(pairs_labeled, gold, tree_map)
+    return pairs_labeled.join(
+        rejected, ["url", "chem_mesh", "dis_mesh"], "left_anti"
+    )

@@ -1,0 +1,130 @@
+"""Featurization: entity-marker insertion, tokenization, entity mask,
+per-row label encoding (SURVEY §2.5 W1/W2/W5, §2.4 A10, §2.2 P7/P8).
+
+Reference semantics (cdr_dataset.py:294-376, make_example_non_global):
+
+- markers inserted around the LATER-starting entity first so the earlier
+  entity's char offsets stay valid (cdr_dataset.py:301-319); ``first`` is
+  the earlier-starting entity's mesh code, ``second`` the later's.
+- sentence offsets are evidence-relative: mention start minus sent_pos.
+- candidates whose marked text tokenizes to > 512 ids are DROPPED
+  (cdr_dataset.py:323-325, filter P7).
+- entity mask: 'O' everywhere except marker spans, which carry the
+  entity's mesh code, marker tokens included when use_entity_token
+  (cdr_dataset.py:328-353); with use_entity_token=False the marker ids
+  are stripped from the token list (P8, cdr_dataset.py:357-358).
+- label encoding: sklearn LabelEncoder == dense codes over the
+  LEXICOGRAPHICALLY SORTED distinct mask values (cdr_dataset.py:363-367);
+  reproduced with numpy unique (which sorts) — per-row, no shuffle.
+
+Execution: one ``mapInPandas`` over evidence rows — narrow stage, Arrow
+batches; all heavy string surgery is per-row Python on short evidence
+sentences (bounded by 512 tokens), vectorized at the batch level.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..functions.tokenize import E_END_ID, E_START_ID, encode
+
+FEATURES_SCHEMA = (
+    "url string, chem_mesh string, dis_mesh string, label int, "
+    "evidence_type string, token_ids array<int>, entity_mask array<int>, "
+    "chem_code int, dis_code int"
+)
+
+
+def featurize_py(
+    sentence: str,
+    sent_pos: int,
+    chem_mesh: str,
+    dis_mesh: str,
+    chem_start: int,
+    chem_end: int,
+    dis_start: int,
+    dis_end: int,
+    use_entity_token: bool = True,
+    max_len: int = 512,
+) -> dict | None:
+    """Single-row reference implementation (pytest oracle)."""
+    cs, ce = chem_start - sent_pos, chem_end - sent_pos
+    ds, de = dis_start - sent_pos, dis_end - sent_pos
+    if cs > ds:
+        t = sentence[:cs] + " [E] " + sentence[cs:ce] + " [/E] " + sentence[ce:]
+        t = t[:ds] + " [E] " + t[ds:de] + " [/E] " + t[de:]
+        first, second = dis_mesh, chem_mesh
+    else:
+        t = sentence[:ds] + " [E] " + sentence[ds:de] + " [/E] " + sentence[de:]
+        t = t[:cs] + " [E] " + t[cs:ce] + " [/E] " + t[ce:]
+        first, second = chem_mesh, dis_mesh
+    ids = encode(t)
+    if len(ids) > max_len:
+        return None
+    mask: list[str] = []
+    i = 0
+    ent = 0
+    while i < len(ids):
+        if ids[i] != E_START_ID:
+            mask.append("O")
+            i += 1
+        else:
+            code = first if ent == 0 else second
+            if use_entity_token:
+                mask.append(code)
+            i += 1
+            while i < len(ids) and ids[i] != E_END_ID:
+                mask.append(code)
+                i += 1
+            if use_entity_token:
+                mask.append(code)
+            ent += 1
+            i += 1
+    if not use_entity_token:
+        ids = [x for x in ids if x not in (E_START_ID, E_END_ID)]
+    # LabelEncoder: dense rank over lexicographically sorted classes
+    classes, enc = np.unique(np.array(mask, dtype=object), return_inverse=True)
+    lookup = {c: j for j, c in enumerate(classes)}
+    return dict(
+        token_ids=ids,
+        entity_mask=[int(x) for x in enc],
+        chem_code=int(lookup[chem_mesh]),
+        dis_code=int(lookup[dis_mesh]),
+    )
+
+
+def featurize(evidence: DataFrame, use_entity_token: bool = True, max_len: int = 512) -> DataFrame:
+    """Distributed featurization over EVIDENCE_SCHEMA rows.
+
+    Global evidence rows (sent_pos null) use offset base 0 and the whole
+    document as the sentence.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split(" ")[0] for c in FEATURES_SCHEMA.split(", ")]
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.chem_start is None or (isinstance(r.chem_start, float) and np.isnan(r.chem_start)):
+                    continue  # global rows carry no span offsets
+                feat = featurize_py(
+                    r.sentence,
+                    int(r.sent_pos) if r.sent_pos is not None else 0,
+                    r.chem_mesh, r.dis_mesh,
+                    int(r.chem_start), int(r.chem_end),
+                    int(r.dis_start), int(r.dis_end),
+                    use_entity_token=use_entity_token, max_len=max_len,
+                )
+                if feat is not None:
+                    out.append(
+                        {"url": r.url, "chem_mesh": r.chem_mesh,
+                         "dis_mesh": r.dis_mesh, "label": int(r.label),
+                         "evidence_type": r.evidence_type, **feat}
+                    )
+            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+
+    return evidence.mapInPandas(run, schema=FEATURES_SCHEMA)

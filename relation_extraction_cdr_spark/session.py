@@ -1,0 +1,76 @@
+"""SparkSession factory tuned for the triple-factory workload.
+
+Scale rationale (100 TB / 1000-executor target, tested on local[N]):
+- AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  (long web documents skew the scorer stage; AQE handles join skew, we
+  additionally salt the scorer repartition — see plans.pipeline).
+- Arrow on: every Python boundary is an Arrow batch, never per-row.
+- shuffle.partitions: small default for local tests; production submits
+  override via spark-submit conf (or rely on AQE coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+
+def spark_session(
+    app_name: str = "relation_extraction_cdr_spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster the submitter sets it (spark-submit --master yarn/k8s) and this
+    argument is left None.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # deterministic session timezone so timestamp round-trips are stable
+        .config("spark.sql.session.timeZone", "UTC")
+        # generous broadcast threshold: the MeSH gazetteer (~58k rows) and
+        # TPC-H dims must always broadcast, never shuffle
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Register the driver-provided parquet tables as temp views.
+
+    Returns a dict name -> DataFrame. Column pruning + predicate pushdown
+    reach the parquet scan because these are plain ``spark.read.parquet``
+    relations (DataSource V1 with full pushdown support).
+    """
+    all_names = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    out = {}
+    for name in names or all_names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
