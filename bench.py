@@ -1,0 +1,108 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Each query is fully materialized via the noop datasource (executes the
+whole plan, no driver collect bottleneck).  The end-to-end CDR pipeline
+runs on a distributed-generated synthetic pages corpus and additionally
+reports pages/sec and triples/sec (the BASELINE metric).  Scaling
+efficiency across parallelism levels is measured by
+scripts/scaling_bench.py (same input, local[8] vs local[32]).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+PIPELINE_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000"))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_broadcast_join",
+    "q06_pergroup_cross_join",
+    "q07_window_topk",
+    "q14_range_join",
+    "q15_asof_join",
+    "q16_sessionize",
+    "q17_lang_id",
+    "q21_exact_dedup",
+    "q23_minhash",
+    "q24_jaccard_neardup",
+    "q25_simhash",
+    "q26_ann_cosine_topk",
+    "q28_cdr_mentions",
+    "q30_cdr_triples",
+]
+
+
+def materialize(df) -> int:
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> None:
+    os.environ["SPARK_GRAFT_CPUS"] = CPUS
+    from relation_extraction_cdr_spark import datagen
+    from relation_extraction_cdr_spark.plans.pipeline import (
+        materialize_triples,
+        score_candidates,
+    )
+    from relation_extraction_cdr_spark.plans.queries import QUERIES
+    from relation_extraction_cdr_spark.session import spark_session
+
+    spark = spark_session("bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = QUERIES[name](spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()  # warm (scan cache, JIT)
+        t0 = time.perf_counter()
+        materialize(QUERIES[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # end-to-end CDR pipeline throughput on a generated pages corpus
+    pages = datagen.gen_pages_df(spark, PIPELINE_PAGES).cache()
+    n_pages = pages.count()  # materialize the input so gen cost is excluded
+    mesh = datagen.mesh_df(spark)
+    t0 = time.perf_counter()
+    scored = score_candidates(pages, mesh, salt_partitions=int(CPUS) * 2)
+    triples = materialize_triples(scored)
+    n_triples = triples.count()
+    pipe_sec = round(time.perf_counter() - t0, 3)
+    timings["pipeline_e2e"] = pipe_sec
+    pages.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "pipeline_pages": n_pages,
+                "pipeline_triples": n_triples,
+                "pages_per_sec": round(n_pages / pipe_sec, 1),
+                "triples_per_sec": round(n_triples / pipe_sec, 2),
+                "cpus": int(CPUS),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

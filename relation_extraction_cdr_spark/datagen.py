@@ -22,8 +22,10 @@ from __future__ import annotations
 
 from datetime import datetime, timezone
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType
 
 # ---------------------------------------------------------------------------
 # MeSH-style dimension fixture (~40 entities with hypernym chains)
@@ -197,9 +199,6 @@ def gen_pages_df(spark: SparkSession, n_docs: int, seed: int = 42,
     the same doc_id.  spark.range is evenly partitioned → generation
     parallelizes linearly with cores.
     """
-    import pandas as pd
-    from pyspark.sql.types import StringType
-
     @F.pandas_udf(StringType())
     def gen_text(ids: pd.Series) -> pd.Series:
         out = []

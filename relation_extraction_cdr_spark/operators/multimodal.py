@@ -1,0 +1,105 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata; decode / feature-extract / resize / frame-sample as
+Arrow-batched pandas UDFs over mapInPandas.
+
+The actual codec work (PIL/ffmpeg/librosa) is NOT available in this
+environment, so the decode step is a clearly-marked deterministic fake
+(or NotImplementedError for real codecs) — but the Spark-side contract is
+real and tested: schemas, batch shapes, partitioning, and the UDF
+signatures are exactly what a production decoder plugs into.
+
+Schema contract:
+  media(media_id long, kind string in {image,audio,video},
+        payload binary, meta struct<width:int,height:int,duration_ms:int,
+        codec:string>)
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width:int,height:int,duration_ms:int,codec:string>"
+)
+
+FEATURES_SCHEMA = "media_id long, kind string, feature array<float>, n_frames int"
+
+
+def gen_media_df(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table (payload = seeded bytes)."""
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.concat(F.lit(f"blob{seed}:"), F.md5(F.col("id").cast("string"))), "UTF-8").alias("payload"),
+        F.struct(
+            (F.col("id") % 640 + 32).cast("int").alias("width"),
+            (F.col("id") % 480 + 32).cast("int").alias("height"),
+            (F.col("id") * 100).cast("int").alias("duration_ms"),
+            F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
+    """STUB decode: a real implementation would dispatch to PIL /
+    soundfile / pyav here.  The fake derives a deterministic 8-dim float
+    feature from the payload bytes so downstream plumbing is testable.
+
+    Raises NotImplementedError for unknown kinds — the marker for where
+    real codecs belong.
+    """
+    if kind not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no decoder for media kind {kind!r}")
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+    pad = (-len(arr)) % 8
+    if pad:
+        arr = np.pad(arr, (0, pad))
+    return arr.reshape(-1, 8).mean(axis=0) / 255.0
+
+
+def extract_features(media: DataFrame, frame_stride: int = 2) -> DataFrame:
+    """decode → (video) frame-sample → feature-extract, one narrow
+    mapInPandas stage.  Batches arrive as Arrow; numpy vectorizes within
+    the batch; no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                feat = _fake_decode(bytes(r.payload), r.kind)
+                n_frames = 1
+                if r.kind == "video":
+                    # frame sampling: stride over fake frames derived from
+                    # duration; a real decoder samples actual frames
+                    n_frames = max(1, int(r.meta["duration_ms"] // 1000) // frame_stride)
+                out.append(
+                    {"media_id": int(r.media_id), "kind": r.kind,
+                     "feature": [float(x) for x in feat], "n_frames": n_frames}
+                )
+            cols = ["media_id", "kind", "feature", "n_frames"]
+            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def resize_meta(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize planning as a pure column computation (aspect-preserving
+    target dims); the pixel work happens inside the decode UDF in a real
+    deployment."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.least(F.lit(max_side) / w, F.lit(max_side) / h, F.lit(1.0))
+    return media.select(
+        "media_id",
+        "kind",
+        F.round(w * scale).cast("int").alias("target_w"),
+        F.round(h * scale).cast("int").alias("target_h"),
+    )

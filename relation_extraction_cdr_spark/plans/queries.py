@@ -1,0 +1,1047 @@
+"""Query registry: every implemented operator exposed as a
+(spark_fn, oracle_sql) pair over the driver-provided tables
+(region nation customer supplier part orders lineitem events documents
+embeddings).
+
+Contract (driver correctness gate):
+- spark_fn(spark, sf_dir) -> DataFrame
+- oracle_sql: ANSI SQL DuckDB runs on the same parquet (same view names)
+- column names AND values must match exactly (order-insensitive hash)
+
+Determinism rules used throughout:
+- double aggregates go through DECIMAL(38,4) on BOTH engines so float
+  summation order can never drift the hash; final cast back to double
+- every ranking has a total order (explicit tiebreak columns)
+- timestamps leave results as formatted strings
+- hashing for comparable results is md5 (never engine-native hash())
+
+Each query's docstring cites the SURVEY §2 operator ids it covers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions import quality as Q
+from ..functions.text import BPEISH_PATTERN
+from ..operators import ann as ANN
+from ..operators import dedup as DD
+from ..session import load_tables
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir, names or None)
+
+
+def dec(col, scale: int = 4):
+    """Decimal-stabilized value for cross-engine sums."""
+    return F.col(col).cast(f"decimal(38,{scale})") if isinstance(col, str) else col.cast(f"decimal(38,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# 1. scans / filters / projections / aggregation core
+# ---------------------------------------------------------------------------
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4)) * CAST(1 - l_discount AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    """TPC-H Q1 shape: scan S1 + filter P-family + groupBy aggregate
+    A1/A5/A6 with map-side partial aggregation."""
+    t = _t(spark, sf_dir, "lineitem")
+    li = t["lineitem"].where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(38,4)")).cast("double").alias("sum_disc_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q02_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(38,4)) * CAST(1 - l_discount AS DECIMAL(38,4)) * CAST(1 + l_tax AS DECIMAL(38,4)), 2) AS DOUBLE) AS charge
+    FROM lineitem
+    WHERE l_quantity BETWEEN 20 AND 25 AND l_returnflag = 'R'
+    """,
+)
+def q02(spark, sf_dir):
+    """Projection/filter pushdown (P1-P7): predicate + computed column;
+    .explain shows PushedFilters on quantity/returnflag and a pruned
+    ReadSchema."""
+    t = _t(spark, sf_dir, "lineitem")
+    li = t["lineitem"].where(
+        F.col("l_quantity").between(20, 25) & (F.col("l_returnflag") == "R")
+    )
+    charge = (
+        dec("l_extendedprice")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(38,4)")
+        * (F.lit(1) + F.col("l_tax")).cast("decimal(38,4)")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(charge, 2).cast("double").alias("charge"),
+    )
+
+
+@register(
+    "q03_broadcast_join",
+    """
+    SELECT n_name, r_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    """,
+)
+def q03(spark, sf_dir):
+    """Dimension joins J7: customer/nation/region broadcast — no shuffle
+    on the fact side except the final small groupBy."""
+    t = _t(spark, sf_dir, "orders", "customer", "nation", "region")
+    df = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return df.groupBy("n_name", "r_name").agg(
+        F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "q04_semi_join",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+    GROUP BY o_orderpriority
+    """,
+)
+def q04(spark, sf_dir):
+    """Semi-join J4/P5 (endpoint-validity shape): orders with a qualifying
+    lineitem, left_semi so the probe side is never duplicated."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    qual = t["lineitem"].where(F.col("l_discount") > 0.05)
+    return (
+        t["orders"]
+        .join(qual, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q05_anti_join",
+    """
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY n_name
+    """,
+)
+def q05(spark, sf_dir):
+    """Anti-join U2 (negatives = all EXCEPT gold shape)."""
+    t = _t(spark, sf_dir, "customer", "orders", "nation")
+    no_orders = t["customer"].join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        no_orders.join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "q06_pergroup_cross_join",
+    """
+    SELECT n_nationkey, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM supplier JOIN customer ON s_nationkey = c_nationkey
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def q06(spark, sf_dir):
+    """J1 candidate-generation shape: equi-join on the group key whose
+    output is the within-group cartesian product (supplier x customer per
+    nation) — the same plan as per-document chemical x disease pairs."""
+    t = _t(spark, sf_dir, "supplier", "customer", "nation")
+    pairs = t["supplier"].join(
+        t["customer"], F.col("s_nationkey") == F.col("c_nationkey")
+    )
+    return (
+        pairs.join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_nationkey")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. windows / ranking / ordering
+# ---------------------------------------------------------------------------
+
+@register(
+    "q07_window_topk",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders)
+    WHERE rnk <= 2
+    """,
+)
+def q07(spark, sf_dir):
+    """Top-k per group W3/W6: row_number with a total order."""
+    t = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        t["orders"]
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 2)
+    )
+
+
+@register(
+    "q08_dense_rank",
+    """
+    SELECT p_partkey, p_brand,
+           CAST(DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS INT) AS price_rank
+    FROM part WHERE p_size < 10
+    """,
+)
+def q08(spark, sf_dir):
+    """A10 LabelEncoder analog: dense_rank over sorted values per group
+    (sklearn's lexicographic dense re-encoding, cdr_dataset.py:363-367)."""
+    t = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice")
+    return (
+        t["part"].where(F.col("p_size") < 10)
+        .select("p_partkey", "p_brand", F.dense_rank().over(w).alias("price_rank"))
+    )
+
+
+@register(
+    "q09_min_by",
+    """
+    SELECT o_custkey, o_orderkey AS cheapest_order, o_totalprice AS min_price FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
+      FROM orders)
+    WHERE rn = 1
+    """,
+)
+def q09(spark, sf_dir):
+    """W3 min-distance top-1 (min_by semantics with deterministic ties)."""
+    t = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        t["orders"]
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("cheapest_order"),
+            F.col("o_totalprice").alias("min_price"),
+        )
+    )
+
+
+@register(
+    "q10_topk_global",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def q10(spark, sf_dir):
+    """Global top-k (TakeOrderedAndProject — no full sort at scale)."""
+    t = _t(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. set operations
+# ---------------------------------------------------------------------------
+
+@register(
+    "q11_union",
+    """
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT 'urgent' AS src, o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT 'high' AS src, o_orderkey FROM orders WHERE o_orderpriority = '2-HIGH')
+    GROUP BY src
+    """,
+)
+def q11(spark, sf_dir):
+    """U1 unionByName of two filtered streams."""
+    t = _t(spark, sf_dir, "orders")
+    a = t["orders"].where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("urgent").alias("src"), "o_orderkey"
+    )
+    b = t["orders"].where(F.col("o_orderpriority") == "2-HIGH").select(
+        F.lit("high").alias("src"), "o_orderkey"
+    )
+    return a.unionByName(b).groupBy("src").agg(F.count("*").alias("n"))
+
+
+@register(
+    "q12_symmetric_pair_dedup",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM (
+      SELECT DISTINCT LEAST(l_partkey, l_suppkey) AS lo,
+                      GREATEST(l_partkey, l_suppkey) AS hi
+      FROM lineitem)
+    """,
+)
+def q12(spark, sf_dir):
+    """U3 symmetric pair dedup via (least, greatest)."""
+    t = _t(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .select(
+            F.least("l_partkey", "l_suppkey").alias("lo"),
+            F.greatest("l_partkey", "l_suppkey").alias("hi"),
+        )
+        .distinct()
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
+    "q13_tagged_split",
+    """
+    SELECT CASE WHEN event_type = 'error' THEN 'err'
+                WHEN event_type IN ('signup','login') THEN 'auth'
+                ELSE 'other' END AS tag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def q13(spark, sf_dir):
+    """U4 three-way split as one pass + tag column (never 3 jobs)."""
+    t = _t(spark, sf_dir, "events")
+    tag = (
+        F.when(F.col("event_type") == "error", "err")
+        .when(F.col("event_type").isin("signup", "login"), "auth")
+        .otherwise("other")
+    )
+    return (
+        t["events"]
+        .select(tag.alias("tag"), "value")
+        .groupBy("tag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. range / as-of / sessionization (J5, J6, S2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q14_range_join",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_shipped_30d
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate
+      AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def q14(spark, sf_dir):
+    """Range predicate join J5 (span containment shape): equi key +
+    interval condition evaluated post-join."""
+    t = _t(spark, sf_dir, "lineitem", "orders")
+    j = t["lineitem"].join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+    return (
+        j.where(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_shipped_30d"))
+    )
+
+
+@register(
+    "q15_asof_join",
+    """
+    SELECT e.event_id,
+           STRFTIME(MAX(s.ts), '%Y-%m-%d %H:%M:%S') AS last_signup_ts
+    FROM events e JOIN events s
+      ON e.user_id = s.user_id AND s.event_type = 'signup' AND s.ts <= e.ts
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+)
+def q15(spark, sf_dir):
+    """As-of / nearest-preceding join J6: for each error event the latest
+    same-user signup at-or-before it.  Implemented scalably as a
+    union + running last_value window (one sort per user, no self-join);
+    the oracle states the same semantics as a join+max."""
+    t = _t(spark, sf_dir, "events")
+    ev = t["events"]
+    tagged = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias("signup_ts"),
+        F.col("event_type"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_last = tagged.withColumn("last_signup", F.last("signup_ts", ignorenulls=True).over(w))
+    return (
+        with_last.where((F.col("event_type") == "error") & F.col("last_signup").isNotNull())
+        .select(
+            "event_id",
+            F.date_format("last_signup", "yyyy-MM-dd HH:mm:ss").alias("last_signup_ts"),
+        )
+    )
+
+
+@register(
+    "q16_sessionize",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM (
+      SELECT user_id, session_id FROM (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        FROM (SELECT user_id, ts, event_id,
+                     CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+              FROM events))
+      GROUP BY user_id, session_id)
+    GROUP BY user_id
+    """,
+)
+def q16(spark, sf_dir):
+    """Sessionization (block-splitter S2 analog): gap>30min starts a new
+    session; lag + running sum, one shuffle on user_id."""
+    t = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
+    flagged = t["events"].select(
+        "user_id", "ts", "event_id",
+        F.when(gap <= 1800 * 1_000_000, 0).otherwise(1).alias("new_session"),
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .count()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. text analysis (lang-ID, quality, tokens, fingerprint) — F-family + ext
+# ---------------------------------------------------------------------------
+
+def _sql_count_word(word: str) -> str:
+    needle = f" {word} "
+    return (
+        f"CAST((LENGTH(p) - LENGTH(REPLACE(p, '{needle}', ' '))) / {len(needle) - 1} AS INT)"
+    )
+
+
+def _sql_lang_scores() -> str:
+    """CTE fragment computing per-language marker scores (matches
+    functions.quality.lang_scores)."""
+    score_cols = []
+    for lang, words in Q.LANG_MARKERS.items():
+        expr = " + ".join(_sql_count_word(w) for w in words)
+        score_cols.append(f"({expr}) AS s_{lang}")
+    return (
+        "SELECT doc_id, "
+        + ", ".join(score_cols)
+        + " FROM (SELECT doc_id, ' ' || LOWER(text) || ' ' AS p FROM documents)"
+    )
+
+
+_LANG_CASE = (
+    "CASE WHEN GREATEST(s_en, s_es, s_fr, s_de) <= 0 THEN 'und' "
+    + " ".join(
+        f"WHEN s_{lang} = GREATEST(s_en, s_es, s_fr, s_de) THEN '{lang}'"
+        for lang in sorted(Q.LANG_MARKERS)
+    )
+    + " ELSE 'und' END"
+)
+
+
+@register(
+    "q17_lang_id",
+    f"""
+    SELECT detected_lang, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT doc_id, {_LANG_CASE} AS detected_lang
+      FROM ({_sql_lang_scores()}))
+    GROUP BY detected_lang
+    """,
+)
+def q17(spark, sf_dir):
+    """Language-ID via stopword-marker heuristic (training-data curation
+    extension; all-JVM column math, SQL-reproducible by construction)."""
+    t = _t(spark, sf_dir, "documents")
+    return (
+        t["documents"]
+        .select(Q.detect_lang(F.col("text")).alias("detected_lang"))
+        .groupBy("detected_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q18_quality",
+    """
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS INT) AS n_words,
+           ROUND(LENGTH(REGEXP_REPLACE(text, '[^.!?,;:]', '', 'g'))
+                 / GREATEST(LENGTH(text), 1), 4) AS punct_ratio
+    FROM documents
+    """,
+)
+def q18(spark, sf_dir):
+    """Quality-scoring components: word count + punctuation ratio."""
+    t = _t(spark, sf_dir, "documents")
+    return t["documents"].select(
+        "doc_id",
+        Q.word_count(F.col("text")).alias("n_words"),
+        Q.punct_ratio(F.col("text")).alias("punct_ratio"),
+    )
+
+
+@register(
+    "q19_token_count",
+    f"""
+    SELECT lang, CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '{BPEISH_PATTERN}'))) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def q19(spark, sf_dir):
+    """BPE-ish token counting per language (F7 analog)."""
+    t = _t(spark, sf_dir, "documents")
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.sum(F.size(F.regexp_extract_all("text", F.lit(BPEISH_PATTERN), 0))).alias("total_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "q20_fingerprint",
+    """
+    SELECT doc_id,
+           SUBSTR(MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))), 1, 16) AS fp
+    FROM documents
+    """,
+)
+def q20(spark, sf_dir):
+    """Document fingerprinting (rolling-hash analog, md5-based)."""
+    t = _t(spark, sf_dir, "documents")
+    return t["documents"].select("doc_id", Q.fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# 6. dedup family (exact, shingles, MinHash, LSH, Jaccard, SimHash)
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = """
+  toks AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS t FROM documents),
+  shingles AS (
+    SELECT doc_id,
+           UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, LEN(t) - 2),
+                  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
+    FROM toks WHERE LEN(t) >= 3)
+"""
+
+
+@register(
+    "q21_exact_dedup",
+    """
+    SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM (SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fp
+          FROM documents)
+    GROUP BY fp
+    """,
+)
+def q21(spark, sf_dir):
+    """Exact dedup: hash-groupBy, min-id representative."""
+    t = _t(spark, sf_dir, "documents")
+    return DD.exact_dedup(t["documents"])
+
+
+@register(
+    "q22_shingles",
+    f"""
+    WITH {_SHINGLES_CTE}
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+    FROM shingles GROUP BY doc_id
+    """,
+)
+def q22(spark, sf_dir):
+    """Word 3-gram shingling (near-dup substrate)."""
+    t = _t(spark, sf_dir, "documents")
+    return (
+        DD.word_shingles(t["documents"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"))
+    )
+
+
+@register(
+    "q23_minhash",
+    f"""
+    WITH {_SHINGLES_CTE}
+    SELECT doc_id,
+           MIN(MD5('seed0|' || shingle)) AS h0, MIN(MD5('seed1|' || shingle)) AS h1,
+           MIN(MD5('seed2|' || shingle)) AS h2, MIN(MD5('seed3|' || shingle)) AS h3
+    FROM shingles GROUP BY doc_id
+    """,
+)
+def q23(spark, sf_dir):
+    """MinHash signatures (k=4): min over md5-permuted shingle space —
+    one map-side-combinable aggregation per doc."""
+    t = _t(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(DD.word_shingles(t["documents"]), k=4)
+    return sigs.select(
+        "doc_id",
+        *[F.col("sig").getItem(i).alias(f"h{i}") for i in range(4)],
+    )
+
+
+@register(
+    "q24_jaccard_neardup",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+      FROM shingles x JOIN shingles y USING (shingle)
+      WHERE x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id)
+    SELECT a, b, ROUND(i / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+    WHERE i / (sa.n + sb.n - i) >= 0.2
+    """,
+)
+def q24(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs: equi-join on shared shingle
+    (docs sharing no shingle never meet — no O(n^2))."""
+    t = _t(spark, sf_dir, "documents")
+    return DD.jaccard_pairs(DD.word_shingles(t["documents"]), threshold=0.2)
+
+
+def _simhash_sql() -> str:
+    nib = lambda pos: f"(STRPOS('0123456789abcdef', SUBSTR(MD5(tok), {pos}, 1)) - 1)"
+    val = f"({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
+    sums = ", ".join(f"SUM((val // {1 << j}) % 2) AS s{j}" for j in range(16))
+    sig = " + ".join(f"(CASE WHEN s{j} * 2 >= n THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS tok
+      FROM documents),
+    vals AS (SELECT doc_id, {val} AS val FROM toks),
+    bits AS (SELECT doc_id, COUNT(*) AS n, {sums} FROM vals GROUP BY doc_id)
+    SELECT doc_id, CAST({sig} AS INT) AS simhash FROM bits
+    """
+
+
+@register("q25_simhash", _simhash_sql())
+def q25(spark, sf_dir):
+    """16-bit SimHash per document (md5-nibble majority votes)."""
+    t = _t(spark, sf_dir, "documents")
+    return DD.simhash(t["documents"])
+
+
+# ---------------------------------------------------------------------------
+# 7. similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_DOT_SQL = """LIST_REDUCE(
+      LIST_TRANSFORM(RANGE(1, LEN(qvec) + 1),
+                     i -> CAST(qvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE)),
+      (x, y) -> x + y)"""
+_NORM_SQL = lambda v: (
+    f"SQRT(LIST_REDUCE(LIST_TRANSFORM({v}, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (x, y) -> x + y))"
+)
+
+
+@register(
+    "q26_ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id, embedding AS cvec FROM embeddings),
+    sims AS (
+      SELECT query_id, vec_id,
+             ROUND({_DOT_SQL} / ({_NORM_SQL('qvec')} * {_NORM_SQL('cvec')}), 6) AS cos_sim
+      FROM c CROSS JOIN q WHERE vec_id <> query_id)
+    SELECT query_id, vec_id, cos_sim, CAST(rnk AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      FROM sims)
+    WHERE rnk <= 5
+    """,
+)
+def q26(spark, sf_dir):
+    """Brute-force cosine top-k (exact ANN baseline): broadcast query set,
+    JVM fold dot products, per-query window top-k."""
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    return ANN.cosine_topk(emb, emb.where(F.col("vec_id") < 3), k=5)
+
+
+@register(
+    "q27_embed_stats",
+    f"""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(ROUND({_NORM_SQL('embedding')}, 6) AS DECIMAL(38,6))) / COUNT(*), 4) AS DOUBLE) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def q27(spark, sf_dir):
+    """Embedding-column stats: per-label average L2 norm (per-row rounded
+    through decimal so summation order cannot drift)."""
+    t = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double")
+        )
+    )
+    return (
+        t["embeddings"]
+        .select("label", F.round(norm, 6).cast("decimal(38,6)").alias("rnorm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("rnorm") / F.count("*"), 4).cast("double").alias("avg_norm"),
+        )
+    )
+
+
+@register("q32_srp_buckets")  # no SQL oracle: libm sin() may differ by ulps
+def q32(spark, sf_dir):
+    """Sign-random-projection LSH bucket histogram (ANN scale path).
+    Rows-only driver check; exact-vs-LSH recall is pytest-verified."""
+    t = _t(spark, sf_dir, "embeddings")
+    return (
+        t["embeddings"]
+        .select(ANN.srp_bucket(F.col("embedding"), n_planes=6).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. CDR knowledge-graph family over the documents table
+#    (mention detection J8/W6 → candidates J1 → co-occurrence gold J2 →
+#     Levi hypernym anti-join J3 → triples + adjacency)
+#    The same operators the pages-pipeline uses, exercised on the shared
+#    `documents` view so the DuckDB oracle can verify them value-by-value.
+# ---------------------------------------------------------------------------
+
+# inline gazetteer over the documents vocabulary; 'hash join' exercises
+# multi-word longest-match (vs 'join'), DZ2/DZ3 exercise the hypernym chain
+_GAZ_ROWS = [
+    ("spark", "CH1", "Chemical", "T01.100"),
+    ("hash join", "CH2", "Chemical", "T01.200"),
+    ("merge", "CH3", "Chemical", "T01.300"),
+    ("scan", "CH4", "Chemical", "T01.400"),
+    ("join", "CH5", "Chemical", "T01.500"),
+    ("slow", "DZ1", "Disease", "X01.100"),
+    ("small", "DZ2", "Disease", "X01.200"),
+    ("big", "DZ3", "Disease", "X01.200.500"),
+]
+_COOC_WINDOW = 60  # chars between mention starts = co-occurrence rule
+
+_GAZ_VALUES = ", ".join(f"('{t}', '{m}', '{ty}', '{tr}')" for t, m, ty, tr in _GAZ_ROWS)
+
+_MENTIONS_CTE = f"""
+  gaz(term, mesh_id, typ, tree_number) AS (VALUES {_GAZ_VALUES}),
+  d AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ts FROM documents),
+  toks AS (
+    SELECT doc_id, u.i AS i, u.tok AS tok FROM (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ts) + 1),
+                    j -> STRUCT_PACK(i := j, tok := ts[j]))) AS u
+      FROM d)),
+  offs AS (
+    SELECT doc_id, i, tok,
+           CAST(COALESCE(SUM(LENGTH(tok) + 1) OVER (
+                PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS cstart,
+           LEAD(tok) OVER (PARTITION BY doc_id ORDER BY i) AS tok2
+    FROM toks),
+  cands AS (
+    SELECT doc_id, tok AS surface, cstart AS mstart,
+           cstart + LENGTH(tok) AS mend FROM offs
+    UNION ALL
+    SELECT doc_id, tok || ' ' || tok2, cstart,
+           cstart + LENGTH(tok) + 1 + LENGTH(tok2) FROM offs WHERE tok2 IS NOT NULL),
+  matched AS (
+    SELECT c.doc_id, g.mesh_id, c.surface AS mention_text, g.typ AS type,
+           c.mstart, c.mend
+    FROM cands c JOIN gaz g ON c.surface = g.term),
+  mentions AS (
+    SELECT doc_id, mesh_id, mention_text, type, mstart AS start, mend AS "end" FROM (
+      SELECT m.*, MAX(mend) OVER (PARTITION BY doc_id
+               ORDER BY mstart ASC, (mend - mstart) DESC, mesh_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM matched m)
+    WHERE pme IS NULL OR mstart >= pme)
+"""
+
+_PAIRS_CTE = f"""{_MENTIONS_CTE},
+  inv AS (SELECT DISTINCT doc_id, mesh_id, type FROM mentions),
+  pairs AS (
+    SELECT c.doc_id, c.mesh_id AS chem_mesh, dd.mesh_id AS dis_mesh
+    FROM inv c JOIN inv dd ON c.doc_id = dd.doc_id
+    WHERE c.type = 'Chemical' AND dd.type = 'Disease'),
+  cooc AS (
+    SELECT DISTINCT m1.doc_id, m1.mesh_id AS chem_mesh, m2.mesh_id AS dis_mesh
+    FROM mentions m1 JOIN mentions m2
+      ON m1.doc_id = m2.doc_id AND m1.type = 'Chemical' AND m2.type = 'Disease'
+    WHERE ABS(m1.start - m2.start) <= {_COOC_WINDOW})
+"""
+
+
+def _doc_gazetteer(spark):
+    return spark.createDataFrame(
+        [(t, m, ty) for t, m, ty, _ in _GAZ_ROWS], "term string, mesh_id string, type string"
+    )
+
+
+def _doc_tree_map(spark):
+    return spark.createDataFrame(
+        [(m, [tr]) for _, m, _, tr in _GAZ_ROWS],
+        "mesh_id string, tree_numbers array<string>",
+    )
+
+
+def _doc_mentions(spark, sf_dir):
+    from ..operators.mentions import detect_mentions
+
+    t = _t(spark, sf_dir, "documents")
+    docs = t["documents"].select(
+        F.col("doc_id").alias("url"), F.lower(F.col("text")).alias("text")
+    )
+    return detect_mentions(docs, _doc_gazetteer(spark))
+
+
+def _doc_cooc(spark, sf_dir):
+    """Per-doc co-occurrence pairs (the labeling 'gold' for this family)."""
+    m = _doc_mentions(spark, sf_dir)
+    chem = m.where(F.col("type") == "Chemical").select(
+        "url", F.col("mesh_id").alias("chem_mesh"), F.col("start").alias("cstart")
+    )
+    dis = m.where(F.col("type") == "Disease").select(
+        "url", F.col("mesh_id").alias("dis_mesh"), F.col("start").alias("dstart")
+    )
+    return (
+        chem.join(dis, "url")
+        .where(F.abs(F.col("cstart") - F.col("dstart")) <= _COOC_WINDOW)
+        .select("url", "chem_mesh", "dis_mesh")
+        .distinct()
+    )
+
+
+@register(
+    "q28_cdr_mentions",
+    f"""
+    WITH {_MENTIONS_CTE}
+    SELECT doc_id, mesh_id, mention_text, type, start, "end" FROM mentions
+    """,
+)
+def q28(spark, sf_dir):
+    """Gazetteer mention detection (J8 + W6 longest-match) on documents —
+    the exact operator the pages pipeline uses."""
+    return _doc_mentions(spark, sf_dir).select(
+        F.col("url").alias("doc_id"), "mesh_id", "mention_text", "type", "start", "end"
+    )
+
+
+@register(
+    "q29_cdr_candidates",
+    f"""
+    WITH {_PAIRS_CTE}
+    SELECT doc_id, chem_mesh, dis_mesh FROM pairs
+    """,
+)
+def q29(spark, sf_dir):
+    """Per-doc chemical x disease candidate generation (J1)."""
+    from ..operators.candidates import candidate_pairs
+    from ..operators.mentions import entity_inventory
+
+    inv = entity_inventory(_doc_mentions(spark, sf_dir))
+    return candidate_pairs(inv).select(
+        F.col("url").alias("doc_id"), "chem_mesh", "dis_mesh"
+    )
+
+
+@register(
+    "q30_cdr_triples",
+    f"""
+    WITH {_PAIRS_CTE}
+    SELECT chem_mesh AS subj, 'CID:induces' AS predicate, dis_mesh AS obj,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM cooc GROUP BY chem_mesh, dis_mesh
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q30(spark, sf_dir):
+    """FLAGSHIP: deduplicated triple materialization — co-occurrence-
+    scored (chem, CID:induces, dis) with per-pair document support."""
+    cooc = _doc_cooc(spark, sf_dir)
+    return (
+        cooc.groupBy("chem_mesh", "dis_mesh")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+        .select(
+            F.col("chem_mesh").alias("subj"),
+            F.lit("CID:induces").alias("predicate"),
+            F.col("dis_mesh").alias("obj"),
+            "support",
+        )
+    )
+
+
+@register(
+    "q31_levi_filter",
+    f"""
+    WITH {_PAIRS_CTE},
+    gaz_trees AS (SELECT mesh_id, tree_number FROM gaz),
+    labeled AS (
+      SELECT p.doc_id, p.chem_mesh, p.dis_mesh,
+             CASE WHEN c.chem_mesh IS NOT NULL THEN 1 ELSE 0 END AS label
+      FROM pairs p LEFT JOIN cooc c
+        ON p.doc_id = c.doc_id AND p.chem_mesh = c.chem_mesh AND p.dis_mesh = c.dis_mesh),
+    rejected AS (
+      SELECT l.doc_id, l.chem_mesh, l.dis_mesh FROM labeled l
+      JOIN gaz_trees nt ON nt.mesh_id = l.dis_mesh
+      WHERE l.label = 0 AND (
+        EXISTS (SELECT 1 FROM cooc g JOIN gaz_trees pt ON pt.mesh_id = g.dis_mesh
+                WHERE g.doc_id = l.doc_id AND g.chem_mesh = l.chem_mesh
+                  AND CONTAINS(pt.tree_number, nt.tree_number))
+        OR EXISTS (SELECT 1 FROM cooc g JOIN gaz_trees pt ON pt.mesh_id = g.chem_mesh
+                WHERE g.doc_id = l.doc_id AND g.dis_mesh = l.dis_mesh
+                  AND CONTAINS(pt.tree_number, nt.tree_number))))
+    SELECT l.doc_id, l.chem_mesh, l.dis_mesh, CAST(l.label AS INT) AS label
+    FROM labeled l
+    WHERE NOT EXISTS (SELECT 1 FROM rejected r
+                      WHERE r.doc_id = l.doc_id AND r.chem_mesh = l.chem_mesh
+                        AND r.dis_mesh = l.dis_mesh)
+    """,
+)
+def q31(spark, sf_dir):
+    """Levi hypernym anti-join (J3) with substring-containment semantics
+    (cdr_dataset.py:227-242) — negatives whose disease tree is contained
+    in a same-endpoint gold pair's tree are dropped."""
+    from ..operators.candidates import candidate_pairs, label_pairs, levi_filter
+    from ..operators.mentions import entity_inventory
+
+    inv = entity_inventory(_doc_mentions(spark, sf_dir))
+    pairs = candidate_pairs(inv)
+    gold = _doc_cooc(spark, sf_dir)
+    labeled = label_pairs(pairs, gold)
+    kept = levi_filter(labeled, gold, _doc_tree_map(spark))
+    return kept.select(
+        F.col("url").alias("doc_id"), "chem_mesh", "dis_mesh", F.col("label").cast("int").alias("label")
+    )
+
+
+@register(
+    "q33_cdr_adjacency",
+    f"""
+    WITH {_PAIRS_CTE},
+    triples AS (
+      SELECT chem_mesh AS subj, dis_mesh AS obj, CAST(COUNT(*) AS BIGINT) AS support
+      FROM cooc GROUP BY chem_mesh, dis_mesh HAVING COUNT(*) >= 2)
+    SELECT subj, CAST(COUNT(*) AS BIGINT) AS degree,
+           STRING_AGG(obj, ',' ORDER BY obj) AS objs
+    FROM triples GROUP BY subj
+    """,
+)
+def q33(spark, sf_dir):
+    """Adjacency-list graph materialization from the triple table."""
+    triples = q30(spark, sf_dir)
+    return triples.groupBy("subj").agg(
+        F.count("*").alias("degree"),
+        F.array_join(F.array_sort(F.collect_list("obj")), ",").alias("objs"),
+    )
+
+
+@register("q40_pipeline_triples")  # full pages pipeline; rows-only check
+def q40(spark, sf_dir):
+    """End-to-end pages pipeline (extract -> mentions -> candidates ->
+    Levi -> evidence -> features -> scorer -> triples) on the seeded
+    synthetic pages corpus (driver tables carry no html pages; corpus size
+    scales with the sf dir).  Deterministic; P/R vs gold is
+    pytest-verified (tests/test_pipeline.py)."""
+    from .. import datagen
+    from .pipeline import materialize_triples, score_candidates
+
+    n_docs = 200 if "0.1" in sf_dir else 60
+    pages, _gm, gold = datagen.gen_fixture_dfs(spark, n_docs)
+    scored = score_candidates(pages, datagen.mesh_df(spark), gold=gold)
+    return materialize_triples(scored).select(
+        "subj", "predicate", "obj", F.col("support").cast("long").alias("support")
+    )

@@ -49,6 +49,7 @@ def spark_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
@@ -67,10 +68,16 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         "documents embeddings"
     ).split()
     out = {}
-    for name in names or all_names:
+    requested = names or all_names
+    for name in requested:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             df = spark.read.parquet(path)
             df.createOrReplaceTempView(name)
             out[name] = df
+    if names and (missing := [n for n in names if n not in out]):
+        raise FileNotFoundError(
+            f"table(s) {missing} not found under {sf_dir!r} "
+            f"(expected <name>.parquet files)"
+        )
     return out

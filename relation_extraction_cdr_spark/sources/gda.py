@@ -1,0 +1,62 @@
+"""GDA (gene-disease) auxiliary sources (SURVEY §2.1 S6-S8).
+
+Reference: data_loaders/convert_gda_to_cdr.py —
+- abstracts: blocks of [id line, text lines...] separated by blank lines
+  (load_abstract, :20-44)
+- annotations: whitespace-split mention rows; duplicate (start,end) spans
+  resolved by dropping type-conflicting duplicates (load_anns, :47-83)
+- labels: CSV (id, geneId, diseaseId, label) (load_labels, :86-99)
+
+Spark mappings: same block splitter as PubTator; dropDuplicates with a
+type-priority window; plain csv reads.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .pubtator import _split_blocks_udf
+
+
+def read_gda_abstracts(spark: SparkSession, path: str) -> DataFrame:
+    """docs(doc_id, text): first block line is the id, rest joined as text."""
+    raw = spark.read.text(path, wholetext=True)
+    blocks = raw.select(F.explode(_split_blocks_udf(F.col("value"))).alias("lines"))
+    return blocks.select(
+        F.element_at("lines", 1).alias("doc_id"),
+        F.lower(F.array_join(F.slice("lines", 2, F.size("lines") - 1), " ")).alias("text"),
+    )
+
+
+def read_gda_annotations(spark: SparkSession, path: str) -> DataFrame:
+    """mentions(doc_id, start, end, mention_text, type, entity_id) with the
+    duplicate-span resolution of load_anns: keep one row per
+    (doc_id, start, end), Gene rows winning over Disease on conflict
+    (deterministic priority window)."""
+    rows = (
+        spark.read.option("sep", "\t").csv(path)
+        .toDF("doc_id", "start", "end", "mention_text", "type", "entity_id")
+        .withColumn("start", F.col("start").cast("int"))
+        .withColumn("end", F.col("end").cast("int"))
+    )
+    w = Window.partitionBy("doc_id", "start", "end").orderBy(
+        F.when(F.col("type") == "Gene", 0).otherwise(1), F.col("entity_id")
+    )
+    return (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def read_gda_labels(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.read.option("header", True).csv(path)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("geneId").alias("gene_id"),
+            F.col("diseaseId").alias("disease_id"),
+            F.col("label").cast("int").alias("label"),
+        )
+    )

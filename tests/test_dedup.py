@@ -1,0 +1,69 @@
+"""Dedup family: exact, shingles, MinHash+LSH, Jaccard, SimHash."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from relation_extraction_cdr_spark.operators import dedup as DD
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat today"),  # near dup
+        (3, "completely different text about spark shuffle partitions"),
+        (4, "another unrelated document mentioning window functions"),
+        (5, "The  quick brown fox jumps over the lazy dog today"),  # ws/case dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    kept = DD.exact_dedup(docs).collect()
+    by_id = {r["doc_id"]: r["dup_count"] for r in kept}
+    assert by_id[0] == 3  # 0, 1 and the whitespace/case variant 5
+    assert len(kept) == 4
+
+
+def test_shingles_counts(docs):
+    sh = DD.word_shingles(docs, n=3)
+    n0 = sh.where("doc_id = 0").count()
+    assert n0 == 8  # 10 tokens -> 8 trigrams
+    # shingles are distinct per doc
+    assert sh.groupBy("doc_id", "shingle").count().where("count > 1").count() == 0
+
+
+def test_jaccard_near_dup(docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in DD.jaccard_pairs(
+        DD.word_shingles(docs), threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_candidates(docs):
+    sigs = DD.minhash_signatures(DD.word_shingles(docs), k=8)
+    # identical docs -> identical signatures
+    s = {r["doc_id"]: tuple(r["sig"]) for r in sigs.collect()}
+    assert s[0] == s[1]
+    cands = {
+        (r["a"], r["b"]) for r in DD.lsh_candidate_pairs(sigs, bands=4).collect()
+    }
+    assert (0, 1) in cands  # exact dups always collide
+    assert (0, 2) in cands  # near dup shares most minhashes
+    # unrelated docs should not collide on any band
+    assert (3, 4) not in cands
+
+
+def test_simhash(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs).collect()}
+    assert sh[0] == sh[1]
+    assert 0 <= sh[0] < 2**16
+    # near dup within small hamming distance
+    ham = bin(sh[0] ^ sh[2]).count("1")
+    assert ham <= 6
+    buckets = DD.simhash_buckets(docs).collect()
+    assert any(r["bucket_size"] >= 2 for r in buckets)

@@ -1,0 +1,77 @@
+"""Featurization: marker insertion, masks, label-encode, truncation
+(cdr_dataset.py:294-376 semantics)."""
+
+from __future__ import annotations
+
+from relation_extraction_cdr_spark.functions.tokenize import (
+    E_END_ID,
+    E_START_ID,
+    encode,
+    piece_to_id,
+    tokenize_pieces,
+)
+from relation_extraction_cdr_spark.operators.features import featurize_py
+
+
+def test_tokenizer_markers():
+    pieces = tokenize_pieces("x [E] lithium [/E] y")
+    assert pieces == ["x", "[e]", "lithium", "[/e]", "y"]
+    ids = encode("x [E] lithium [/E] y")
+    assert ids[1] == E_START_ID and ids[3] == E_END_ID
+
+
+def test_marker_insertion_and_mask():
+    sent = "lithium induced severe tremor in rats."
+    cs, ds = 0, sent.find("tremor")
+    feat = featurize_py(sent, 0, "D910001", "D010001", cs, cs + 7, ds, ds + 6)
+    ids = feat["token_ids"]
+    mask = feat["entity_mask"]
+    assert len(ids) == len(mask)
+    # marker spans carry entity codes; everything else is 'O'
+    # classes sorted lexicographically: D010001 < D910001 < O
+    assert feat["dis_code"] == 0 and feat["chem_code"] == 1
+    o_code = 2
+    # chemical span: [e] lithium [/e] = first three tokens
+    assert mask[0] == mask[1] == mask[2] == feat["chem_code"]
+    assert mask[3] == o_code
+    # disease span carries dis_code
+    tremor_pos = ids.index(piece_to_id("tremor"))
+    assert mask[tremor_pos] == feat["dis_code"]
+    assert mask[tremor_pos - 1] == feat["dis_code"]  # [e] marker
+    assert mask[tremor_pos + 1] == feat["dis_code"]  # [/e] marker
+
+
+def test_marker_insertion_disease_first():
+    sent = "tremor was not observed after lithium treatment."
+    ds, cs = 0, sent.find("lithium")
+    feat = featurize_py(sent, 0, "D910001", "D010001", cs, cs + 7, ds, ds + 6)
+    ids, mask = feat["token_ids"], feat["entity_mask"]
+    # earlier-starting entity (disease) is 'first' in mask-walk order
+    assert mask[0] == feat["dis_code"]
+    li = ids.index(piece_to_id("lithium"))
+    assert mask[li] == feat["chem_code"]
+
+
+def test_sentence_relative_offsets():
+    # evidence from mid-document: offsets are sent_pos-relative
+    sent = "lithium induced tremor."
+    feat = featurize_py(sent, 100, "D910001", "D010001", 100, 107, 116, 122)
+    assert feat is not None
+    assert feat["token_ids"][0] == E_START_ID
+
+
+def test_overlong_dropped():
+    sent = ("word " * 600 + "lithium induced tremor.").strip()
+    cs = sent.find("lithium")
+    ds = sent.find("tremor")
+    assert featurize_py(sent, 0, "C", "D", cs, cs + 7, ds, ds + 6) is None
+
+
+def test_use_entity_token_false_strips_markers():
+    sent = "lithium induced tremor."
+    feat = featurize_py(
+        sent, 0, "D910001", "D010001", 0, 7, 16, 22, use_entity_token=False
+    )
+    assert E_START_ID not in feat["token_ids"]
+    assert E_END_ID not in feat["token_ids"]
+    assert len(feat["token_ids"]) == len(feat["entity_mask"])

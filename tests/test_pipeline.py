@@ -1,0 +1,66 @@
+"""End-to-end triple factory: P/R vs gold, metrics SQL, adjacency."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from relation_extraction_cdr_spark.plans.pipeline import (
+    adjacency,
+    extracted_docs,
+    materialize_triples,
+    pr_metrics,
+    score_candidates,
+)
+
+
+def test_extracted_text_byte_identity(spark, fixtures):
+    """input_hint: per-url extracted text must be byte-identical to the
+    reference preprocessing (lowercased payload) — here the generator's
+    text field IS the reference payload (already lowercase)."""
+    pages, _, _ = fixtures
+    docs = extracted_docs(pages)
+    joined = docs.join(pages.select("url", F.col("text").alias("expect")), "url")
+    bad = joined.where(F.col("text") != F.lower(F.col("expect"))).count()
+    assert bad == 0
+
+
+def test_url_level_pr(spark, fixtures, mesh):
+    pages, _, gold = fixtures
+    scored = score_candidates(pages, mesh, gold=gold).cache()
+    pred = {
+        (r["url"], r["chem_mesh"], r["dis_mesh"])
+        for r in scored.where("pred=1").collect()
+    }
+    gold_set = {(r["url"], r["chem_mesh"], r["dis_mesh"]) for r in gold.collect()}
+    tp = len(pred & gold_set)
+    precision = tp / max(len(pred), 1)
+    recall = tp / max(len(gold_set), 1)
+    assert precision >= 0.95, (precision, sorted(pred - gold_set)[:5])
+    assert recall >= 0.95, (recall, sorted(gold_set - pred)[:5])
+
+
+def test_triple_table_and_metrics(spark, fixtures, mesh):
+    pages, _, gold = fixtures
+    scored = score_candidates(pages, mesh, gold=gold)
+    triples = materialize_triples(scored).cache()
+    assert triples.columns == ["subj", "predicate", "obj", "score", "support"]
+    m = pr_metrics(triples, gold)
+    assert m["precision"] >= 0.95 and m["recall"] >= 0.95
+    adj = adjacency(triples)
+    assert adj.count() == triples.select("subj").distinct().count()
+    # degree sums back to the triple count
+    assert adj.agg(F.sum("degree")).first()[0] == triples.count()
+
+
+def test_scorer_no_gold_mode(spark, fixtures, mesh):
+    """Production mode: no gold labels — pipeline still runs, labels 0."""
+    pages, _, _ = fixtures
+    scored = score_candidates(pages, mesh, gold=None)
+    assert scored.where("label != 0").count() == 0
+    assert scored.where("pred=1").count() > 0
+
+
+def test_salted_repartition_runs(spark, fixtures, mesh):
+    pages, _, gold = fixtures
+    scored = score_candidates(pages, mesh, gold=gold, salt_partitions=8)
+    assert scored.count() > 0

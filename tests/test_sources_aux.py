@@ -1,0 +1,51 @@
+"""GDA / TACRED auxiliary sources (S6-S8, S11)."""
+
+from __future__ import annotations
+
+import json
+
+from relation_extraction_cdr_spark.sources.gda import (
+    read_gda_abstracts,
+    read_gda_annotations,
+    read_gda_labels,
+)
+from relation_extraction_cdr_spark.sources.tacred import read_tacred
+
+
+def test_gda_abstracts(spark, tmp_path):
+    p = tmp_path / "abs.txt"
+    p.write_text("G1\nFirst Line\nSecond Line\n\nG2\nOther Text\n")
+    docs = {r["doc_id"]: r["text"] for r in read_gda_abstracts(spark, str(p)).collect()}
+    assert docs == {"G1": "first line second line", "G2": "other text"}
+
+
+def test_gda_annotations_dupe_resolution(spark, tmp_path):
+    p = tmp_path / "anns.tsv"
+    p.write_text(
+        "G1\t0\t5\tBRCA1\tGene\t672\n"
+        "G1\t0\t5\tBRCA1\tDisease\tD999\n"  # type-conflicting duplicate span
+        "G1\t10\t16\tcancer\tDisease\tD009\n"
+    )
+    rows = read_gda_annotations(spark, str(p)).collect()
+    spans = {(r["start"], r["end"]): r["type"] for r in rows}
+    assert len(rows) == 2
+    assert spans[(0, 5)] == "Gene"  # priority wins on conflict
+
+
+def test_gda_labels(spark, tmp_path):
+    p = tmp_path / "labels.csv"
+    p.write_text("id,geneId,diseaseId,label\nG1,672,D009,1\nG2,673,D010,0\n")
+    rows = read_gda_labels(spark, str(p)).collect()
+    assert {(r["doc_id"], r["label"]) for r in rows} == {("G1", 1), ("G2", 0)}
+
+
+def test_tacred(spark, tmp_path):
+    p = tmp_path / "tacred.json"
+    p.write_text(json.dumps([
+        {"id": "t1", "relation": "per:title", "token": ["John", "is", "CEO"],
+         "subj_start": 0, "subj_end": 0, "obj_start": 2, "obj_end": 2,
+         "subj_type": "PERSON", "obj_type": "TITLE"},
+    ]))
+    rows = read_tacred(spark, str(p)).collect()
+    assert rows[0]["text"] == "John is CEO"
+    assert rows[0]["relation"] == "per:title"
