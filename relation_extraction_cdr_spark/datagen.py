@@ -191,26 +191,32 @@ def gen_fixture_dfs(spark: SparkSession, n_docs: int = 20, seed: int = 42):
 
 
 def gen_pages_df(spark: SparkSession, n_docs: int, seed: int = 42,
-                 partitions: int | None = None) -> DataFrame:
+                 partitions: int | None = None, doc_scale: int = 1) -> DataFrame:
     """Distributed page generator for bench scale — NO driver-side rows.
 
     Reuses the same _doc_plan rule via a vectorized pandas UDF over
     ``spark.range`` ids, so text content is identical to gen_corpus for
-    the same doc_id.  spark.range is evenly partitioned → generation
-    parallelizes linearly with cores.
+    the same doc_id (at doc_scale=1).  spark.range is evenly partitioned
+    → generation parallelizes linearly with cores.
+
+    ``doc_scale``: repeat the sentence plan K times with rotated entity
+    indices — fixture docs are ~40 tokens but real web pages are ~1000;
+    bench/scaling runs use doc_scale>1 so per-page compute is realistic
+    and the run is compute-bound rather than per-task-overhead-bound.
     """
     @F.pandas_udf(StringType())
     def gen_text(ids: pd.Series) -> pd.Series:
         out = []
         for doc_id in ids:
             parts = []
-            for tpl, ci, di, _gold in _doc_plan(int(doc_id)):
-                sent = tpl
-                if "{C}" in sent:
-                    sent = sent.replace("{C}", CHEMICALS[ci][1])
-                if "{D}" in sent:
-                    sent = sent.replace("{D}", DISEASES[di][1])
-                parts.append(sent)
+            for rep in range(doc_scale):
+                for tpl, ci, di, _gold in _doc_plan((int(doc_id) + rep * 7919) % (1 << 31)):
+                    sent = tpl
+                    if "{C}" in sent:
+                        sent = sent.replace("{C}", CHEMICALS[(ci + rep) % len(CHEMICALS)][1])
+                    if "{D}" in sent:
+                        sent = sent.replace("{D}", DISEASES[(di + rep) % len(DISEASES)][1])
+                    parts.append(sent)
             out.append(" ".join(parts))
         return pd.Series(out)
 

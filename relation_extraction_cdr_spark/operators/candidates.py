@@ -133,3 +133,33 @@ def levi_filter(pairs_labeled: DataFrame, gold: DataFrame, tree_map: DataFrame) 
     return pairs_labeled.join(
         rejected, ["url", "chem_mesh", "dis_mesh"], "left_anti"
     )
+
+
+def levi_rejected_py(
+    pairs: list[tuple[str, str]],
+    gold: list[tuple[str, str]],
+    tree_map: dict[str, list[str]],
+) -> set[tuple[str, str]]:
+    """Per-document plain-Python Levi rule (cdr_dataset.py:227-242
+    semantics, substring containment) — used inside the doc-level fused
+    UDF where the whole per-doc decision runs in one pass; agrees with
+    the relational levi_reject anti-join (pytest-verified)."""
+    gold_set = set(gold)
+    rejected: set[tuple[str, str]] = set()
+    for c, d in pairs:
+        if (c, d) in gold_set:
+            continue
+        hit = False
+        for neg_node in tree_map.get(d, []):
+            for gc, gd in gold:
+                if gc == c and any(neg_node in pn for pn in tree_map.get(gd, [])):
+                    hit = True
+                    break
+                if gd == d and any(neg_node in pn for pn in tree_map.get(gc, [])):
+                    hit = True
+                    break
+            if hit:
+                break
+        if hit:
+            rejected.add((c, d))
+    return rejected

@@ -67,6 +67,20 @@ def _token_distance(chem_code: str, chem_start: int, dis_code: str,
     return len(sent[pos_start - sent_start : pos_end - sent_start].split(" "))
 
 
+def build_pos_index(sents: list[dict], positions: list[int]) -> dict[int, list[int]]:
+    """pos -> ordered list of sentence idxs whose [start, start+len-1]
+    span contains pos (duplicated sentences located at their first
+    occurrence can contain the same position more than once — exactly
+    the reference's per-sentence scan)."""
+    out: dict[int, list[int]] = {p: [] for p in positions}
+    for s in sents:
+        lo, hi = s["start"], s["start"] + len(s["text"]) - 1
+        for p in positions:
+            if lo <= p <= hi:
+                out[p].append(s["idx"])
+    return out
+
+
 def select_evidence_py(
     text: str,
     chem: str,
@@ -78,36 +92,54 @@ def select_evidence_py(
     label: int,
     extract_inter: bool = True,
     sents: list[dict] | None = None,
+    pos_index: dict[int, list[int]] | None = None,
 ) -> dict | None:
-    """Single-pair reference implementation (also the pytest oracle)."""
+    """Single-pair reference implementation (also the pytest oracle).
+
+    ``pos_index`` (optional): a per-document position->sentence-idx index
+    shared across all pairs of the document — turns the per-pair cost
+    from O(sentences x Mc x Md) into O(Mc x Md).  Candidates are sorted
+    by (sentence idx, chem mention idx, dis mention idx) to reproduce the
+    reference's loop order (ties resolved by first-encountered,
+    text_utils.py:149 list.index(min)).
+    """
     if sents is None:
         sents = split_sentences_py(text)
+    by_idx = {s["idx"]: s for s in sents}
+    if pos_index is None:
+        pos_index = build_pos_index(
+            sents,
+            sorted({p for p, _ in chem_positions} | {p for p, _ in dis_positions}),
+        )
     intra, intra_d = [], []
     far, far_d = [], []
     chem_sent_idx: list[int] = []
     dis_sent_idx: list[int] = []
-    for s in sents:
+    cands = []  # (sent_idx, cp_idx, dp_idx, ...)
+    for ci, (cs, ce) in enumerate(chem_positions):
+        c_sents = set(pos_index[cs])
+        for di_, (ds, de) in enumerate(dis_positions):
+            d_sents = set(pos_index[ds])
+            for i in c_sents & d_sents:
+                cands.append((i, ci, di_, cs, ce, ds, de))
+            for i in c_sents - d_sents:
+                chem_sent_idx.append(i)
+            for i in d_sents - c_sents:
+                dis_sent_idx.append(i)
+    for i, _ci, _di, cs, ce, ds, de in sorted(cands):
+        s = by_idx[i]
         sent, sent_start = s["text"], s["start"]
-        for cs, ce in chem_positions:
-            for ds, de in dis_positions:
-                c_in = _check_position(cs, sent_start, sent)
-                d_in = _check_position(ds, sent_start, sent)
-                if c_in and d_in:
-                    td = _token_distance(chem, cs, dis, ds, sent, sent_start)
-                    row = dict(
-                        sentence=sent, sent_pos=sent_start,
-                        chem_start=cs, chem_end=ce, dis_start=ds, dis_end=de,
-                    )
-                    if td < 10:
-                        intra.append(row)
-                        intra_d.append(td)
-                    else:
-                        far.append(row)
-                        far_d.append(td)
-                elif c_in:
-                    chem_sent_idx.append(s["idx"])
-                elif d_in:
-                    dis_sent_idx.append(s["idx"])
+        td = _token_distance(chem, cs, dis, ds, sent, sent_start)
+        row = dict(
+            sentence=sent, sent_pos=sent_start,
+            chem_start=cs, chem_end=ce, dis_start=ds, dis_end=de,
+        )
+        if td < 10:
+            intra.append(row)
+            intra_d.append(td)
+        else:
+            far.append(row)
+            far_d.append(td)
     if intra:
         best = intra[intra_d.index(min(intra_d))]
         return dict(label=label, evidence_type="intra", **best)
@@ -129,7 +161,6 @@ def select_evidence_py(
                 min_distance = abs(ci - di)
                 start_sentence, end_sentence = min(ci, di), max(ci, di)
     if min_distance <= 3 and c_idx and d_idx:
-        by_idx = {s["idx"]: s for s in sents}
         s0, s1 = by_idx[start_sentence], by_idx[end_sentence]
         start_pos = text.find(s0["text"])
         end_pos = text.find(s1["text"]) + len(s1["text"])
@@ -151,6 +182,42 @@ def select_evidence_py(
     return None
 
 
+class DocIndex:
+    """Per-document shared state for evidence selection inside a UDF
+    batch: the sentence list plus a lazily-grown position->sentences
+    index (each distinct mention position is located once per document,
+    not once per pair)."""
+
+    __slots__ = ("sents", "idx")
+
+    def __init__(self, text: str):
+        self.sents = split_sentences_py(text)
+        self.idx: dict[int, list[int]] = {}
+
+    def index_for(self, positions: list[int]) -> dict[int, list[int]]:
+        missing = [p for p in positions if p not in self.idx]
+        if missing:
+            self.idx.update(build_pos_index(self.sents, missing))
+        return self.idx
+
+
+class DocIndexCache:
+    """Bounded per-batch url -> DocIndex cache."""
+
+    def __init__(self, cap: int = 256):
+        self.cap = cap
+        self.data: dict[str, DocIndex] = {}
+
+    def get(self, url: str, text: str) -> DocIndex:
+        d = self.data.get(url)
+        if d is None:
+            if len(self.data) > self.cap:
+                self.data.clear()
+            d = DocIndex(text)
+            self.data[url] = d
+        return d
+
+
 def select_evidence(pairs_with_text: DataFrame, extract_inter: bool = True) -> DataFrame:
     """Distributed evidence selection.
 
@@ -161,22 +228,18 @@ def select_evidence(pairs_with_text: DataFrame, extract_inter: bool = True) -> D
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sent_cache: dict[str, list] = {}
+        cache = DocIndexCache()
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                sents = sent_cache.get(r.url)
-                if sents is None:
-                    sents = split_sentences_py(r.text)
-                    if len(sent_cache) > 256:
-                        sent_cache.clear()
-                    sent_cache[r.url] = sents
+                d = cache.get(r.url, r.text)
+                cpos = [(int(p["start"]), int(p["end"])) for p in r.chem_positions]
+                dpos = [(int(p["start"]), int(p["end"])) for p in r.dis_positions]
                 row = select_evidence_py(
-                    r.text, r.chem_mesh, r.dis_mesh,
-                    [(int(p["start"]), int(p["end"])) for p in r.chem_positions],
-                    [(int(p["start"]), int(p["end"])) for p in r.dis_positions],
+                    r.text, r.chem_mesh, r.dis_mesh, cpos, dpos,
                     r.chem_text, r.dis_text, int(r.label),
-                    extract_inter=extract_inter, sents=sents,
+                    extract_inter=extract_inter, sents=d.sents,
+                    pos_index=d.index_for([p for p, _ in cpos] + [p for p, _ in dpos]),
                 )
                 if row is not None:
                     out.append({"url": r.url, "chem_mesh": r.chem_mesh,

@@ -9,10 +9,9 @@ PubTator file (cdr_dataset.py:60-66).
 Spark-first design (no per-row Python, one narrow pass + one per-doc
 window):
 
-1. ``tokens_with_offsets``: a single ``F.aggregate`` fold over
-   ``split(text, ' ')`` builds ``array<struct<clean,cstart,cend>>`` with
-   punctuation-stripped token forms and their char offsets — one JVM pass,
-   no shuffle, no O(n^2).
+1. tokens with char offsets: posexplode + a running window sum of token
+   lengths (punctuation-stripped clean forms) — vectorized, O(n log n)
+   per doc; shares its sort with the n-gram lead window below.
 2. n-gram candidate surfaces for n=1..max_term_words via window ``lead``
    over (url, token_idx) — max_term_words is derived from the gazetteer
    (a handful), so this is a constant small fan-out.
@@ -33,49 +32,6 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
-from pyspark.sql.types import ArrayType, IntegerType, StringType, StructField, StructType
-
-_TOK_SCHEMA = ArrayType(
-    StructType(
-        [
-            StructField("clean", StringType()),
-            StructField("cstart", IntegerType()),
-            StructField("cend", IntegerType()),
-        ]
-    )
-)
-
-
-def tokens_with_offsets(text_col) -> "F.Column":
-    """array<struct<clean,cstart,cend>> — one aggregate fold, JVM-side.
-
-    clean = token with leading/trailing non-alnum stripped;
-    cstart/cend = char offsets of the clean form in the original text.
-    """
-    tok = F.split(text_col, " ")
-    zero = F.struct(
-        F.lit(0).alias("off"),
-        F.array().cast(_TOK_SCHEMA).alias("arr"),
-    )
-
-    def step(acc, t):
-        lead_stripped = F.regexp_replace(t, r"^[^a-z0-9]+", "")
-        clean = F.regexp_replace(lead_stripped, r"[^a-z0-9]+$", "")
-        cstart = acc.off + (F.length(t) - F.length(lead_stripped))
-        return F.struct(
-            (acc.off + F.length(t) + 1).alias("off"),
-            F.array_append(
-                acc.arr,
-                F.struct(
-                    clean.alias("clean"),
-                    cstart.cast("int").alias("cstart"),
-                    (cstart + F.length(clean)).cast("int").alias("cend"),
-                ),
-            ).alias("arr"),
-        )
-
-    return F.aggregate(tok, zero, step, lambda acc: acc.arr)
-
 
 def detect_mentions(
     pages: DataFrame,
@@ -87,20 +43,37 @@ def detect_mentions(
     """mentions(url, mesh_id, mention_text, type, start, end).
 
     ``gazetteer``: (term, mesh_id, type) — lowercase surfaces; broadcast.
+
+    Offsets are computed with a running window sum over the exploded
+    tokens (O(n log n) per doc, vectorized) — NOT an array fold, whose
+    array_append accumulator is O(n^2) per document and collapses on
+    long web pages.
     """
     if max_term_words is None:
         max_term_words = (
             gazetteer.select(F.max(F.size(F.split("term", " "))).alias("m")).first()["m"]
         ) or 1
 
-    toks = pages.select(
+    raw = pages.select(
         F.col(key_col).alias("url"),
-        F.posexplode(tokens_with_offsets(F.col(text_col))).alias("i", "tok"),
-    ).select("url", "i", "tok.clean", "tok.cstart", "tok.cend")
+        F.posexplode(F.split(F.col(text_col), " ")).alias("i", "tok"),
+    )
+    lead_stripped = F.regexp_replace("tok", r"^[^a-z0-9]+", "")
+    w = Window.partitionBy("url").orderBy("i")
+    # char offset of token i = sum of (len+1) of tokens 0..i-1
+    tok_start = F.coalesce(
+        F.sum(F.length("tok") + 1).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    toks = raw.select(
+        "url",
+        "i",
+        F.regexp_replace(lead_stripped, r"[^a-z0-9]+$", "").alias("clean"),
+        (tok_start + (F.length("tok") - F.length(lead_stripped))).cast("int").alias("cstart"),
+    ).withColumn("cend", (F.col("cstart") + F.length("clean")).cast("int"))
 
     # materialize the lead columns first (window exprs are not allowed
     # inside a generator), then assemble n-gram structs from plain columns
-    w = Window.partitionBy("url").orderBy("i")
     lead_cols = []
     for k in range(1, max_term_words):
         lead_cols.append(F.lead("clean", k).over(w).alias(f"clean_{k}"))
@@ -159,3 +132,70 @@ def entity_inventory(mentions: DataFrame) -> DataFrame:
         F.max_by("mention_text", "start").alias("rep_text"),
         F.first("type").alias("type"),
     )
+
+
+def gazetteer_dict(gazetteer: DataFrame) -> dict[str, list[tuple[str, str]]]:
+    """term -> [(mesh_id, type)] plain dict for in-UDF matching (the
+    same payload a broadcast variable carries; ~MBs for 58k MeSH rows)."""
+    out: dict[str, list[tuple[str, str]]] = {}
+    for r in gazetteer.collect():
+        out.setdefault(r["term"], []).append((r["mesh_id"], r["type"]))
+    return out
+
+
+def detect_mentions_py(
+    text: str,
+    gaz: dict[str, list[tuple[str, str]]],
+    max_term_words: int,
+) -> list[dict]:
+    """Plain-python gazetteer matcher with EXACTLY the semantics of the
+    relational ``detect_mentions`` (pytest-verified equal): space-split
+    tokens with punctuation-stripped clean forms and char offsets,
+    n-gram candidates (n=1..max_term_words), greedy longest-match-wins
+    ordered by (start asc, length desc, mesh_id asc) with a running
+    max-end cut.  Used inside the doc-level fused UDF so the 100 TB
+    pipeline needs NO token explode / window shuffle for mention
+    detection — the gazetteer dict rides in the UDF closure/broadcast.
+    """
+    toks: list[tuple[str, int, int]] = []  # (clean, cstart, cend)
+    off = 0
+    for tok in text.split(" "):
+        # faithful to the relational regexes [^a-z0-9]: strip leading and
+        # trailing chars outside the exact ascii-lower+digit class
+        alnum = "abcdefghijklmnopqrstuvwxyz0123456789"
+        i0 = 0
+        while i0 < len(tok) and tok[i0] not in alnum:
+            i0 += 1
+        i1 = len(tok)
+        while i1 > i0 and tok[i1 - 1] not in alnum:
+            i1 -= 1
+        clean = tok[i0:i1]
+        toks.append((clean, off + i0, off + i0 + len(clean)))
+        off += len(tok) + 1
+    matches: list[tuple[int, int, str, str, str, str]] = []
+    for i in range(len(toks)):
+        for n in range(1, max_term_words + 1):
+            if i + n > len(toks):
+                break
+            surface = " ".join(t[0] for t in toks[i : i + n])
+            if not surface:
+                continue
+            for mesh_id, typ in gaz.get(surface, ()):
+                matches.append(
+                    (toks[i][1], toks[i + n - 1][2], mesh_id, surface, typ, surface)
+                )
+    matches.sort(key=lambda m: (m[0], -(m[1] - m[0]), m[2]))
+    out: list[dict] = []
+    max_end = -1
+    for start, end, mesh_id, surface, typ, _ in matches:
+        if start >= max_end:
+            out.append(
+                dict(mesh_id=mesh_id, mention_text=surface, type=typ,
+                     start=start, end=end)
+            )
+            max_end = max(max_end, end)
+        # dropped matches do not extend max_end (same as the window rule:
+        # prev_max_end is the running max over ALL prior candidates)
+        else:
+            max_end = max(max_end, end)
+    return out

@@ -60,12 +60,83 @@ def score_candidates(
     use_levi: bool = True,
     scorer_backend: str = "stub",
     salt_partitions: int | None = None,
+    heavy_doc_chars: int = 20_000,
+    fused: bool = True,
+    persist_intermediates: bool = True,
 ) -> DataFrame:
-    """pages -> scored pairs (one row per candidate with pred/prob)."""
+    """pages -> scored pairs (one row per candidate with pred/prob).
+
+    ``persist_intermediates``: the entity inventory feeds BOTH sides of
+    the per-doc cross join (and, in eval mode, the Levi joins) — without
+    persistence every reference re-derives the whole mention-detection
+    subtree (window + broadcast join), multiplying the dominant stage.
+    MEMORY_AND_DISK: the inventory is orders of magnitude smaller than
+    pages, and spills safely at scale.
+
+    ``fused``: evidence+featurize+score in one Arrow round-trip (the
+    production path); fused=False runs the three modular stages.
+    """
     docs = extracted_docs(pages)
     gaz = gazetteer(mesh_tree, type_col=mesh_type_col)
+
+    if fused:
+        # doc-level fused path: the document text crosses the shuffle and
+        # the Arrow boundary ONCE; mention detection (broadcast gazetteer
+        # dict, detect_mentions_py — same semantics as the relational
+        # operator), pair generation, Levi filter, evidence selection,
+        # featurization and scoring all run in a SINGLE narrow python
+        # stage per doc (the reference's is_full_sample batching shape,
+        # electra_model.py:711-734).  The only exchanges in the whole
+        # pipeline are the optional salt repartition and the final
+        # dimension-bounded triple groupBy.
+        from ..operators.mentions import gazetteer_dict
+        from ..scoring.scorer import fused_score_docs
+
+        gd = gazetteer_dict(gaz)
+        max_words = max((t.count(" ") + 1 for t in gd), default=1)
+        payload = docs
+        if gold is not None:
+            gold_arr = gold.groupBy("url").agg(
+                F.collect_list(F.struct("chem_mesh", "dis_mesh")).alias("gold_pairs")
+            )
+            payload = payload.join(gold_arr, "url", "left")
+        else:
+            payload = payload.withColumn(
+                "gold_pairs",
+                F.lit(None).cast("array<struct<chem_mesh:string,dis_mesh:string>>"),
+            )
+        if salt_partitions:
+            # SKEW-AWARE salting: shuffling every page would move the
+            # whole corpus (at 100 TB, the whole 100 TB) through the
+            # exchange just to protect against a skewed tail.  Instead
+            # only documents above the heavy-length threshold are
+            # redistributed by url-hash (a ~1% shuffle); the light
+            # majority flows through narrow.  union of the two branches
+            # is itself narrow.
+            heavy = F.length("text") > heavy_doc_chars
+            payload = payload.where(~heavy).unionByName(
+                payload.where(heavy).repartition(
+                    salt_partitions, F.xxhash64("url")
+                )
+            )
+        tm = (
+            {r["mesh_id"]: list(r["tree_numbers"]) for r in tree_multimap(mesh_tree).collect()}
+            if gold is not None and use_levi
+            else None
+        )
+        return fused_score_docs(
+            payload, tree_map=tm, use_levi=use_levi,
+            gazetteer=gd, max_term_words=max_words,
+            backend=scorer_backend,
+        )
+
     mentions = detect_mentions(docs, gaz)
     inventory = entity_inventory(mentions)
+
+    if persist_intermediates:
+        from pyspark import StorageLevel
+
+        inventory = inventory.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = candidate_pairs(inventory)
     if gold is not None:
         pairs = label_pairs(pairs, gold)
@@ -74,14 +145,14 @@ def score_candidates(
     else:
         pairs = pairs.withColumn("label", F.lit(0))
     with_text = pairs.join(docs, "url")
-    evidence = select_evidence(with_text, extract_inter=True)
-    features = featurize(evidence)
     if salt_partitions:
         # salted spread of one long document's pairs across executors:
         # the hash key includes the pair so skew splits at pair granularity
-        features = features.repartition(
+        with_text = with_text.repartition(
             salt_partitions, F.xxhash64("url", "chem_mesh", "dis_mesh")
         )
+    evidence = select_evidence(with_text, extract_inter=True)
+    features = featurize(evidence)
     return score_pairs(features, backend=scorer_backend)
 
 

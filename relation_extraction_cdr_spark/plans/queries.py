@@ -1045,3 +1045,48 @@ def q40(spark, sf_dir):
     return materialize_triples(scored).select(
         "subj", "predicate", "obj", F.col("support").cast("long").alias("support")
     )
+
+
+# ---------------------------------------------------------------------------
+# 9. split / count-if extras
+# ---------------------------------------------------------------------------
+
+@register(
+    "q34_hash_split",
+    """
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT CASE WHEN SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 1) < 'c'
+                  THEN 'train' ELSE 'test' END AS split
+      FROM orders)
+    GROUP BY split
+    """,
+)
+def q34(spark, sf_dir):
+    """Deterministic train/test split (SURVEY §2.6 randomSplit analog):
+    hash-threshold split is reproducible across engines and stable under
+    repartitioning — unlike randomSplit, which depends on partition
+    layout; this is the split a production data pipeline should use."""
+    t = _t(spark, sf_dir, "orders")
+    split = F.when(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) < "c", "train"
+    ).otherwise("test")
+    return (
+        t["orders"].select(split.alias("split")).groupBy("split").agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q35_cooc_histogram",
+    f"""
+    WITH {_PAIRS_CTE}
+    SELECT pair_count, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+      SELECT doc_id, CAST(COUNT(*) AS INT) AS pair_count FROM cooc GROUP BY doc_id)
+    GROUP BY pair_count
+    """,
+)
+def q35(spark, sf_dir):
+    """Count-if aggregate (A5, check_distance_CA analog): distribution of
+    co-occurring gold pairs per document."""
+    cooc = _doc_cooc(spark, sf_dir)
+    per_doc = cooc.groupBy("url").agg(F.count("*").cast("int").alias("pair_count"))
+    return per_doc.groupBy("pair_count").agg(F.count("*").alias("n_docs"))

@@ -17,6 +17,11 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
+# belt-and-braces for local mode: python workers inherit the JVM's env,
+# which inherits ours — pin BLAS threading before any worker starts
+for _var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_var, "1")
+
 
 def spark_session(
     app_name: str = "relation_extraction_cdr_spark",
@@ -48,6 +53,15 @@ def spark_session(
         # TPC-H dims must always broadcast, never shuffle
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # sandbox disk is slow (~40 MB/s); shuffle through tmpfs — the
+        # single-machine analog of cluster NVMe shuffle volumes
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
+        # one BLAS thread per python worker: Spark already parallelizes
+        # across workers; multithreaded BLAS inside each of N workers
+        # oversubscribes the box N-fold and destroys scaling
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )

@@ -27,17 +27,31 @@ from relation_extraction_cdr_spark import datagen
 from relation_extraction_cdr_spark.plans.pipeline import score_candidates, materialize_triples
 
 cpus = int(sys.argv[1]); n_pages = int(sys.argv[2])
-spark = spark_session("scaling", master=f"local[{{cpus}}]")
+# initial shuffle partitions scale with cores (AQE can only coalesce DOWN
+# from this number, never up — too few starves wide stages of waves)
+spark = spark_session("scaling", master=f"local[{{cpus}}]", shuffle_partitions=cpus * 8)
 spark.sparkContext.setLogLevel("ERROR")
-pages = datagen.gen_pages_df(spark, n_pages, partitions=max(cpus * 4, 32)).cache()
+# IDENTICAL input layout at both levels: fixed partition counts so the
+# only variable is the core count (the north-rule criterion)
+PARTS = 128
+pages = datagen.gen_pages_df(spark, n_pages, partitions=PARTS, doc_scale=12).cache()
 n = pages.count()
 mesh = datagen.mesh_df(spark)
-# warm-up (JIT, Python worker pool spin-up) on a slice
-score_candidates(pages.limit(200), mesh).write.mode("overwrite").format("noop").save()
+
+def run_once():
+    # numpy backend: per-doc encoder compute representative of the real
+    # ONNX scorer (the stub alone is unrealistically cheap, which makes a
+    # single machine memory-bandwidth-bound instead of compute-bound)
+    scored = score_candidates(pages, mesh, salt_partitions=PARTS,
+                              scorer_backend="numpy")
+    triples = materialize_triples(scored)
+    return triples.count()
+
+# warm-up: one full-scale run (JIT/codegen compile, Python worker pool,
+# broadcast materialization) — steady-state throughput is the metric
+run_once()
 t0 = time.perf_counter()
-scored = score_candidates(pages, mesh, salt_partitions=cpus * 4)
-triples = materialize_triples(scored)
-n_triples = triples.count()
+n_triples = run_once()
 wall = time.perf_counter() - t0
 print(json.dumps({{"cpus": cpus, "pages": n, "triples": n_triples,
                    "wall_sec": round(wall, 3),

@@ -1,0 +1,72 @@
+"""NER featurization (extract_ner_sample semantics, cdr_dataset.py:378-447)."""
+
+from __future__ import annotations
+
+from relation_extraction_cdr_spark.functions.tokenize import (
+    E_END_ID,
+    E_START_ID,
+    encode,
+    piece_to_id,
+)
+from relation_extraction_cdr_spark.operators.ner import (
+    docs_with_mentions,
+    ner_featurize_py,
+    ner_features,
+)
+
+
+def test_whole_doc_markers_and_labels():
+    text = "lithium induced tremor in rats."
+    mentions = [
+        {"start": 0, "end": 7, "type": "Chemical"},
+        {"start": 16, "end": 22, "type": "Disease"},
+    ]
+    feat = ner_featurize_py(text, mentions)
+    ids = feat["token_ids"]
+    assert feat["labels"] == [0, 1]
+    i0, i1 = feat["entity_token_idx"]
+    assert ids[i0] == piece_to_id("lithium")
+    assert ids[i1] == piece_to_id("tremor")
+    assert ids[i0 - 1] == E_START_ID and ids[i1 - 1] == E_START_ID
+
+
+def test_reverse_insertion_preserves_offsets():
+    # two mentions; inserting the later one first must not shift earlier
+    text = "aa bb cc dd"
+    mentions = [
+        {"start": 0, "end": 2, "type": "Chemical"},
+        {"start": 9, "end": 11, "type": "Disease"},
+    ]
+    feat = ner_featurize_py(text, mentions)
+    ids = feat["token_ids"]
+    assert ids[feat["entity_token_idx"][0]] == piece_to_id("aa")
+    assert ids[feat["entity_token_idx"][1]] == piece_to_id("dd")
+
+
+def test_truncate_back_to_last_marker():
+    # long doc: truncation at 512 must cut back to the last complete [/e]
+    text = ("word " * 400) + "lithium here. " + ("pad " * 300) + "tremor end."
+    mentions = [
+        {"start": text.find("lithium"), "end": text.find("lithium") + 7, "type": "Chemical"},
+        {"start": text.find("tremor"), "end": text.find("tremor") + 6, "type": "Disease"},
+    ]
+    feat = ner_featurize_py(text, mentions)
+    ids = feat["token_ids"]
+    assert len(ids) <= 512
+    assert ids[-1] == E_END_ID  # ends exactly at a span close
+    assert feat["labels"] == [0]  # the disease span fell past the window
+
+
+def test_distributed(spark, fixtures, mesh):
+    from relation_extraction_cdr_spark.operators.mentions import detect_mentions
+    from relation_extraction_cdr_spark.plans.pipeline import extracted_docs
+    from relation_extraction_cdr_spark.sources.mesh import gazetteer
+
+    pages, _, _ = fixtures
+    docs = extracted_docs(pages)
+    mentions = detect_mentions(docs, gazetteer(mesh, type_col="type"))
+    rows = ner_features(docs_with_mentions(docs, mentions)).collect()
+    assert len(rows) > 30
+    for r in rows[:10]:
+        assert len(r["entity_token_idx"]) == len(r["labels"])
+        assert all(l in (0, 1) for l in r["labels"])
