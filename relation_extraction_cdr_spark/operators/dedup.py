@@ -41,18 +41,30 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    """Distinct word n-gram shingles per doc: (id, shingle).
+
+    The token array is materialized into a column BEFORE the gram
+    builder references it: inlining the split() expression into every
+    element access makes Catalyst re-split the text once per (index,
+    position) pair — O(len^2) work per document.  With the array bound
+    to a column, shingle construction is a single zip of n shifted
+    slices — O(len).
+    """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]
-        ),
+    with_toks = docs.select(F.col(id_col), toks.alias("_toks")).where(
+        F.size("_toks") >= n
     )
-    return (
-        docs.where(F.size(toks) >= n)
-        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+    # grams = zip_with-fold of n shifted views of the token array
+    m = F.size("_toks") - (n - 1)
+    grams = F.slice("_toks", 1, m)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice("_toks", k + 1, m),
+            lambda acc, t: F.concat_ws(" ", acc, t),
+        )
+    return with_toks.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
 
