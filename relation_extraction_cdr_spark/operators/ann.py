@@ -172,3 +172,59 @@ def ann_lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 0,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cos_sim) with a < b
+    and cos_sim >= threshold (6dp-rounded, deterministic fold order).
+
+    n_planes=0 (default) is the EXACT baseline: the right side is
+    broadcast, so the pairing runs as a broadcast nested-loop join — one
+    narrow pass over the corpus, no shuffle.  Correct at any threshold,
+    O(n^2) comparisons: the oracle-checkable mode.
+
+    n_planes>0 is the scale path: pairs are generated per SRP bucket
+    (equi-join on the bucket id), cost O(sum bucket^2) instead of
+    O(n^2); recall vs the exact mode is measured in tests, tunable via
+    n_planes.  At 100 TB only this mode is viable — the bucket join
+    shuffles on a short int key with bounded group sizes.
+
+    Norms are precomputed per row (projected once) so each pair costs a
+    single dot product.
+    """
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_n"),
+        *(
+            [srp_bucket(F.col(vec_col), n_planes, dim).alias("_bkt")]
+            if n_planes
+            else []
+        ),
+    )
+    on_cols = ["_bkt"] if n_planes else []
+    left = base.select(
+        *on_cols, F.col("_id").alias("a"), F.col("_v").alias("va"), F.col("_n").alias("na")
+    )
+    right = base.select(
+        *on_cols, F.col("_id").alias("b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
+    )
+    pairs = (
+        left.join(right, on_cols) if n_planes else left.crossJoin(F.broadcast(right))
+    )
+    return (
+        pairs.where(F.col("a") < F.col("b"))
+        .withColumn(
+            "cos_sim",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .select("a", "b", "cos_sim")
+    )

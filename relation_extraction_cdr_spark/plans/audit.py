@@ -1,0 +1,127 @@
+"""Physical-plan audit: assert that the plans Catalyst produces for the
+headline queries are the plans we WANT at 100 TB — dimension joins
+broadcast, filters pushed into the parquet scan, columns pruned,
+aggregates map-side-combined, and no accidental cartesian products.
+
+This is the scale-readiness regression guard: a code change that turns a
+broadcast join into a shuffled sort-merge join, or un-pushes a scan
+filter, fails the audit long before it would show up as a slow cluster
+job. Used by tests/test_plans.py and scripts/explain_audit.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The formatted physical plan (same text as df.explain('formatted'))."""
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@dataclass
+class PlanFacts:
+    """Counted operator occurrences in a formatted physical plan."""
+
+    broadcast_hash_joins: int
+    sort_merge_joins: int
+    cartesian_products: int
+    nested_loop_joins: int
+    exchanges: int
+    partial_aggs: int
+    pushed_filter_lines: list[str] = field(default_factory=list)
+    read_schemas: list[str] = field(default_factory=list)
+    python_evals: int = 0
+
+    @property
+    def scan_columns(self) -> list[int]:
+        """Column count of each parquet scan (column-pruning evidence)."""
+        return [s.count(":") for s in self.read_schemas]
+
+
+def plan_facts(df: DataFrame) -> PlanFacts:
+    plan = formatted_plan(df)
+    lines = plan.splitlines()
+    return PlanFacts(
+        broadcast_hash_joins=plan.count("BroadcastHashJoin"),
+        sort_merge_joins=plan.count("SortMergeJoin"),
+        cartesian_products=plan.count("CartesianProduct"),
+        nested_loop_joins=plan.count("BroadcastNestedLoopJoin"),
+        exchanges=plan.count("Exchange ("),
+        partial_aggs=plan.count("partial_"),
+        pushed_filter_lines=[
+            l.strip() for l in lines if "PushedFilters" in l and ": []" not in l
+        ],
+        read_schemas=[
+            l.strip().removeprefix("ReadSchema: ")
+            for l in lines
+            if l.strip().startswith("ReadSchema:")
+        ],
+        python_evals=plan.count("ArrowEvalPython") + plan.count("BatchEvalPython"),
+    )
+
+
+# Per-query expectations. Keys are query names from plans.queries; each
+# value is a dict of PlanFacts-field -> (op, bound) checks applied by
+# `audit_query`. Queries not listed get only the global invariant
+# (no cartesian product).
+EXPECTATIONS: dict[str, dict[str, tuple[str, int]]] = {
+    # single wide agg: exactly one shuffle pre-AQE, map-side combine,
+    # shipdate filter pushed to the scan
+    "q01_pricing_summary": {
+        "exchanges": ("<=", 1),
+        "partial_aggs": (">=", 1),
+        "pushed": (">=", 1),
+        "sort_merge_joins": ("==", 0),
+    },
+    # every dimension hop (region->nation->customer->orders) broadcast —
+    # the fact table is never shuffled for the join
+    "q03_broadcast_join": {
+        "broadcast_hash_joins": (">=", 3),
+        "sort_merge_joins": ("==", 0),
+        "pushed": (">=", 1),
+    },
+    "q04_semi_join": {"sort_merge_joins": ("==", 0)},
+    "q05_anti_join": {"sort_merge_joins": ("==", 0)},
+    # gazetteer mention detection: the ~58k-row MeSH dimension must come
+    # in as a broadcast, never a shuffle of the exploded n-gram stream
+    "q28_cdr_mentions": {"broadcast_hash_joins": (">=", 1)},
+    "q30_cdr_triples": {"broadcast_hash_joins": (">=", 1)},
+    # exact dedup is one hash agg: one shuffle, combiner on
+    "q21_exact_dedup": {
+        "exchanges": ("<=", 1),
+        "partial_aggs": (">=", 1),
+    },
+    # minhash signatures: k mins in ONE aggregation pass
+    "q23_minhash": {"exchanges": ("<=", 2), "partial_aggs": (">=", 1)},
+    # jaccard near-dup must be driven by the shingle equi-join, never a
+    # doc x doc product
+    "q24_jaccard_neardup": {"cartesian_products": ("==", 0)},
+}
+
+_OPS = {
+    "<=": lambda a, b: a <= b,
+    ">=": lambda a, b: a >= b,
+    "==": lambda a, b: a == b,
+}
+
+
+def audit_query(name: str, df: DataFrame) -> list[str]:
+    """Return a list of human-readable violations (empty = plan is good)."""
+    facts = plan_facts(df)
+    violations: list[str] = []
+    if facts.cartesian_products:
+        violations.append(f"{name}: {facts.cartesian_products} CartesianProduct")
+    for field_name, (op, bound) in EXPECTATIONS.get(name, {}).items():
+        actual = (
+            len(facts.pushed_filter_lines)
+            if field_name == "pushed"
+            else getattr(facts, field_name)
+        )
+        if not _OPS[op](actual, bound):
+            violations.append(f"{name}: {field_name}={actual}, want {op} {bound}")
+    return violations

@@ -1090,3 +1090,31 @@ def q35(spark, sf_dir):
     cooc = _doc_cooc(spark, sf_dir)
     per_doc = cooc.groupBy("url").agg(F.count("*").cast("int").alias("pair_count"))
     return per_doc.groupBy("pair_count").agg(F.count("*").alias("n_docs"))
+
+
+_PAIR_DOT_SQL = """LIST_REDUCE(
+      LIST_TRANSFORM(RANGE(1, LEN(va) + 1),
+                     i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)),
+      (x, y) -> x + y)"""
+
+
+@register(
+    "q36_embed_neardup",
+    f"""
+    WITH e AS (SELECT vec_id, embedding, {_NORM_SQL('embedding')} AS nrm FROM embeddings),
+    pairs AS (
+      SELECT x.vec_id AS a, y.vec_id AS b,
+             x.embedding AS va, y.embedding AS vb, x.nrm AS na, y.nrm AS nb
+      FROM e x JOIN e y ON x.vec_id < y.vec_id)
+    SELECT a, b, cos_sim FROM (
+      SELECT a, b, ROUND({_PAIR_DOT_SQL} / (na * nb), 6) AS cos_sim FROM pairs)
+    WHERE cos_sim >= 0.35
+    """,
+)
+def q36(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (dedup family, exact
+    baseline): broadcast nested-loop self-pairing with precomputed norms;
+    the SRP-bucketed variant of the same operator (n_planes>0) is the
+    100 TB path, recall-tested in tests/test_ann.py."""
+    t = _t(spark, sf_dir, "embeddings")
+    return ANN.cosine_neardup_pairs(t["embeddings"], threshold=0.35)

@@ -69,3 +69,45 @@ def test_lsh_reduces_comparisons(spark, emb):
     )
     pairs_in_buckets = sum(r["count"] ** 2 for r in buckets)
     assert pairs_in_buckets < n * n / 4  # at least 4x fewer comparisons
+
+
+def test_cosine_neardup_exact_vs_numpy(spark, emb):
+    """Exact near-dup pairs match a numpy brute-force oracle."""
+    thr = 0.3
+    got = {
+        (r["a"], r["b"]): r["cos_sim"]
+        for r in ANN.cosine_neardup_pairs(emb, threshold=thr).collect()
+    }
+    rows = emb.collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in rows]
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    expect = {}
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            a, b = ids[i], ids[j]
+            if a < b and round(sims[i, j], 6) >= thr:
+                expect[(a, b)] = round(sims[i, j], 6)
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 1e-5
+
+
+def test_cosine_neardup_bucketed_subset(spark, emb):
+    """SRP-bucketed mode returns a subset of the exact pairs (same
+    scores) with non-trivial recall — the 100 TB path's contract."""
+    thr = 0.3
+    exact = {
+        (r["a"], r["b"]): r["cos_sim"]
+        for r in ANN.cosine_neardup_pairs(emb, threshold=thr).collect()
+    }
+    approx = {
+        (r["a"], r["b"]): r["cos_sim"]
+        for r in ANN.cosine_neardup_pairs(emb, threshold=thr, n_planes=3).collect()
+    }
+    assert set(approx) <= set(exact)
+    for k, v in approx.items():
+        assert abs(v - exact[k]) < 1e-9
+    assert exact, "fixture produced no near-dup pairs; threshold too high"
+    assert len(approx) / len(exact) >= 0.1, (len(approx), len(exact))
