@@ -43,6 +43,8 @@ HEADLINE = [
     "q26_ann_cosine_topk",
     "q28_cdr_mentions",
     "q30_cdr_triples",
+    "q36_embed_neardup",
+    "q37_multimodal_features",
 ]
 
 

@@ -1118,3 +1118,40 @@ def q36(spark, sf_dir):
     100 TB path, recall-tested in tests/test_ann.py."""
     t = _t(spark, sf_dir, "embeddings")
     return ANN.cosine_neardup_pairs(t["embeddings"], threshold=0.35)
+
+
+@register("q37_multimodal_features")  # no SQL oracle: byte-level stub
+# decode inside mapInPandas is not ANSI-SQL-expressible (rows-only check;
+# batch shapes, schema, and determinism are pytest-verified)
+def q37(spark, sf_dir):
+    """Multimodal plumbing over the documents table: text payloads cast
+    to opaque binary media rows with typed metadata, then decode +
+    frame-sample + feature-extract in one narrow Arrow mapInPandas stage
+    — the exact schema/partitioning contract a real codec plugs into."""
+    from ..operators import multimodal as MM
+
+    t = _t(spark, sf_dir, "documents")
+    media = t["documents"].select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            (F.col("doc_id") % 640 + 32).cast("int").alias("width"),
+            (F.col("doc_id") % 480 + 32).cast("int").alias("height"),
+            (F.col("doc_id") * 100 % 60000).cast("int").alias("duration_ms"),
+            F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )
+    feats = MM.extract_features(media)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.element_at("feature", 1)), 4).alias("avg_f0"),
+            F.sum("n_frames").alias("total_frames"),
+        )
+        .orderBy("kind")
+    )

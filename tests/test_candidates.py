@@ -146,3 +146,53 @@ def test_levi_on_fixture_corpus(spark, fixtures, mesh):
         for r in levi_reject(labeled, gold, tree_df).collect()
     }
     assert got == expect
+
+
+def test_levi_property_random(spark):
+    """Property test: on a randomized corpus engineered for substring
+    collisions (short dotted tree numbers drawn from a tiny alphabet,
+    including exact-equal and non-boundary substrings), the Spark
+    anti-join agrees with the independent Python oracle on every doc."""
+    import random
+
+    rng = random.Random(1234)
+    seg = lambda: rng.choice(["A01", "B2", "B20", "X01.3", "X01.30"])
+    def tree_number():
+        return ".".join(seg() for _ in range(rng.randint(1, 3)))
+
+    chems = [f"C{i}" for i in range(8)]
+    diss = [f"D{i}" for i in range(8)]
+    tree_map = {e: sorted({tree_number() for _ in range(rng.randint(1, 3))})
+                for e in chems + diss}
+
+    all_pairs, gold = [], []
+    for u in range(200):
+        url = f"u{u}"
+        cs = rng.sample(chems, rng.randint(1, 4))
+        ds = rng.sample(diss, rng.randint(1, 4))
+        gold_here = {
+            (rng.choice(cs), rng.choice(ds)) for _ in range(rng.randint(0, 3))
+        }
+        gold += [(url, c, d) for c, d in gold_here]
+        all_pairs += [
+            (url, c, d, 1 if (c, d) in gold_here else 0) for c in cs for d in ds
+        ]
+
+    neg = [(u, c, d) for (u, c, d, l) in all_pairs if l == 0]
+    expect_rej = _levi_rejected_oracle(neg, gold, tree_map)
+    assert expect_rej, "random corpus produced no rejections; regen seeds"
+    assert len(expect_rej) < len(neg), "all negatives rejected; degenerate"
+
+    pairs_df = spark.createDataFrame(
+        all_pairs, "url string, chem_mesh string, dis_mesh string, label int"
+    )
+    gold_df = spark.createDataFrame(gold, "url string, chem_mesh string, dis_mesh string")
+    tree_df = spark.createDataFrame(
+        [(k, v) for k, v in tree_map.items()],
+        "mesh_id string, tree_numbers array<string>",
+    )
+    got_rej = {
+        (r["url"], r["chem_mesh"], r["dis_mesh"])
+        for r in levi_reject(pairs_df, gold_df, tree_df).collect()
+    }
+    assert got_rej == expect_rej
