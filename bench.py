@@ -43,8 +43,8 @@ HEADLINE = [
     "q26_ann_cosine_topk",
     "q28_cdr_mentions",
     "q30_cdr_triples",
-    "q36_embed_neardup",
     "q37_multimodal_features",
+    "q38_embed_neardup_lsh",
 ]
 
 
@@ -78,6 +78,11 @@ def main() -> None:
     pages = datagen.gen_pages_df(spark, PIPELINE_PAGES).cache()
     n_pages = pages.count()  # materialize the input so gen cost is excluded
     mesh = datagen.mesh_df(spark)
+    # warm run (Python worker pool, broadcast, codegen) — same protocol
+    # as the per-query timings above
+    materialize_triples(
+        score_candidates(pages, mesh, salt_partitions=int(CPUS) * 2)
+    ).count()
     t0 = time.perf_counter()
     scored = score_candidates(pages, mesh, salt_partitions=int(CPUS) * 2)
     triples = materialize_triples(scored)

@@ -1155,3 +1155,14 @@ def q37(spark, sf_dir):
         )
         .orderBy("kind")
     )
+
+
+@register("q38_embed_neardup_lsh")  # no SQL oracle: SRP hyperplanes use
+# libm sin() (ulp-level engine differences); subset-of-exact + recall are
+# pytest-verified in tests/test_ann.py
+def q38(spark, sf_dir):
+    """SRP-bucketed embedding near-dup (the 100 TB path): pairs are
+    generated per LSH bucket via an equi-join on the bucket id — cost
+    O(sum bucket^2) instead of O(n^2) — then exact-cosine verified."""
+    t = _t(spark, sf_dir, "embeddings")
+    return ANN.cosine_neardup_pairs(t["embeddings"], threshold=0.35, n_planes=4)
