@@ -1166,3 +1166,31 @@ def q38(spark, sf_dir):
     O(sum bucket^2) instead of O(n^2) — then exact-cosine verified."""
     t = _t(spark, sf_dir, "embeddings")
     return ANN.cosine_neardup_pairs(t["embeddings"], threshold=0.35, n_planes=4)
+
+
+@register(
+    "q39_windowed_counts",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS win_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))), 4) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q39(spark, sf_dir):
+    """Tumbling-window event counts — the SAME operator the streaming
+    path runs (streaming/windows.py windowed_event_counts; withWatermark
+    is a no-op on a batch frame), exercised as a batch query so the
+    window semantics are DuckDB-oracled."""
+    from ..streaming.windows import windowed_event_counts
+
+    t = _t(spark, sf_dir, "events")
+    ev = t["events"].withColumn(
+        "value", F.round("value", 6).cast("decimal(38,6)")
+    )
+    out = windowed_event_counts(ev, window="1 hour", watermark="2 hours")
+    return out.withColumn(
+        "total_value", F.round(F.col("total_value"), 4).cast("double")
+    )
