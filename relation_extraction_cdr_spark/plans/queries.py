@@ -878,13 +878,24 @@ def _doc_tree_map(spark):
 
 
 def _doc_mentions(spark, sf_dir):
+    from pyspark import StorageLevel
+
     from ..operators.mentions import detect_mentions
 
     t = _t(spark, sf_dir, "documents")
     docs = t["documents"].select(
         F.col("doc_id").alias("url"), F.lower(F.col("text")).alias("text")
     )
-    return detect_mentions(docs, _doc_gazetteer(spark))
+    # persisted: the cooc queries reference mentions on BOTH sides of the
+    # chem x dis join, and predicate pushdown (type filter below the
+    # window exchange) defeats ReusedExchange — without the persist the
+    # whole detection subtree (scan + explode + broadcast join + window)
+    # runs twice, doubling the dominant stage at corpus scale.  Spark's
+    # cache manager keys on the canonicalized plan, so every query in
+    # this family shares one cached copy.
+    return detect_mentions(docs, _doc_gazetteer(spark)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
 
 def _doc_cooc(spark, sf_dir):
