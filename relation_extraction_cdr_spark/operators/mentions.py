@@ -173,17 +173,23 @@ def detect_mentions_py(
         toks.append((clean, off + i0, off + i0 + len(clean)))
         off += len(tok) + 1
     matches: list[tuple[int, int, str, str, str, str]] = []
-    for i in range(len(toks)):
+    n_toks = len(toks)
+    for i in range(n_toks):
+        # build the n-gram surface incrementally instead of re-joining
+        # the slice for every n — this kernel runs once per document at
+        # corpus scale, so constant factors matter
+        surface = toks[i][0]
         for n in range(1, max_term_words + 1):
-            if i + n > len(toks):
+            j = i + n - 1
+            if j >= n_toks:
                 break
-            surface = " ".join(t[0] for t in toks[i : i + n])
-            if not surface:
-                continue
-            for mesh_id, typ in gaz.get(surface, ()):
-                matches.append(
-                    (toks[i][1], toks[i + n - 1][2], mesh_id, surface, typ, surface)
-                )
+            if n > 1:
+                surface = surface + " " + toks[j][0]
+            if surface:
+                for mesh_id, typ in gaz.get(surface, ()):
+                    matches.append(
+                        (toks[i][1], toks[j][2], mesh_id, surface, typ, surface)
+                    )
     matches.sort(key=lambda m: (m[0], -(m[1] - m[0]), m[2]))
     out: list[dict] = []
     max_end = -1
