@@ -22,6 +22,7 @@ the distributed featurization plan is unchanged.
 from __future__ import annotations
 
 import hashlib
+import functools
 import re
 
 PAD_ID = 0
@@ -34,7 +35,10 @@ _VOCAB_SIZE = 2**31 - _VOCAB_BASE
 _PIECE = re.compile(r"\[/?e\]|[a-z0-9]+|[^\sa-z0-9]")
 
 
+@functools.lru_cache(maxsize=1 << 17)
 def piece_to_id(piece: str) -> int:
+    # cached: natural-language piece vocabularies are Zipfian, so the
+    # md5 runs once per distinct piece per executor, not once per token
     rid = _RESERVED.get(piece)
     if rid is not None:
         return rid
