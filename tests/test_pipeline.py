@@ -64,3 +64,51 @@ def test_salted_repartition_runs(spark, fixtures, mesh):
     pages, _, gold = fixtures
     scored = score_candidates(pages, mesh, gold=gold, salt_partitions=8)
     assert scored.count() > 0
+
+
+def test_pipeline_survives_poison_rows(spark, mesh):
+    """100 TB hygiene: null text, empty text, whitespace-only, unicode
+    junk, an unannotated 200 KB monster, and a null lang must flow
+    through the fused pipeline without crashing it or perturbing the
+    triples of the healthy rows."""
+    import pyspark.sql.functions as F
+
+    from relation_extraction_cdr_spark import datagen
+    from relation_extraction_cdr_spark.plans.pipeline import (
+        materialize_triples,
+        score_candidates,
+    )
+
+    pages = datagen.gen_pages_df(spark, 50)
+    baseline = {
+        (r["subj"], r["obj"])
+        for r in materialize_triples(
+            score_candidates(pages, mesh, salt_partitions=8)
+        ).collect()
+    }
+    poison = spark.createDataFrame(
+        [
+            ("https://p/1", None),
+            ("https://p/2", ""),
+            ("https://p/3", "   "),
+            ("https://p/4", "é中文 \U0001f600 aspirin induced headache."),
+            ("https://p/5", "x" * 200_000),
+        ],
+        "url string, text string",
+    ).select(
+        "url",
+        F.lit(1704067200).cast("timestamp").alias("warc_ts"),
+        F.encode(F.coalesce("text", F.lit("")), "UTF-8").alias("html"),
+        "text",
+        F.lit(None).cast("string").alias("lang"),
+    )
+    mixed = pages.unionByName(poison)
+    got = {
+        (r["subj"], r["obj"])
+        for r in materialize_triples(
+            score_candidates(mixed, mesh, salt_partitions=8)
+        ).collect()
+    }
+    # healthy-row triples unchanged; row 4 may legitimately add the
+    # (aspirin, headache) pair it mentions
+    assert baseline <= got
