@@ -94,3 +94,53 @@ def test_real_alps_parity(spark, fname):
     # sanity: the real corpus is non-trivial (55 docs in the test split,
     # ~170 in train)
     assert len(exp_docs) >= 50 and len(exp_ments) >= 150 and len(exp_rels) >= 50
+
+
+def test_real_alps_candidates_and_labels(spark):
+    """J1/J2 on real data: per-doc chemical x disease candidate pairs
+    with gold-pair labels over alps_test.txt, vs an independent
+    double-loop oracle. Exercises Other-typed entities (excluded from
+    pair gen) and multi-mention entities on non-synthetic text."""
+    import pyspark.sql.functions as F
+
+    from relation_extraction_cdr_spark.operators.candidates import (
+        candidate_pairs,
+        label_pairs,
+    )
+    from relation_extraction_cdr_spark.operators.mentions import entity_inventory
+
+    path = f"{ALPS_DIR}/alps_test.txt"
+    _, exp_ments, exp_rels = _py_parse(path)
+
+    # oracle: distinct (doc, chem) x (doc, dis); label 1 iff gold
+    chems, diss = {}, {}
+    for d, _s, _e, _t, typ, mesh in exp_ments:
+        if typ == "Chemical":
+            chems.setdefault(d, set()).add(mesh)
+        elif typ == "Disease":
+            diss.setdefault(d, set()).add(mesh)
+    gold = set(exp_rels)
+    expect = {
+        (d, c, m, 1 if (d, c, m) in gold else 0)
+        for d in chems
+        if d in diss
+        for c in chems[d]
+        for m in diss[d]
+    }
+
+    blocks = PT.read_pubtator(spark, path)
+    mentions = PT.parse_mentions(blocks).select(
+        F.col("doc_id").alias("url"), "mesh_id", "mention_text", "type", "start", "end"
+    )
+    inv = entity_inventory(mentions)
+    pairs = candidate_pairs(inv)
+    gold_df = PT.parse_relations(blocks, PT.parse_mentions(blocks)).select(
+        F.col("doc_id").alias("url"), "chem_mesh", "dis_mesh"
+    )
+    labeled = label_pairs(pairs, gold_df)
+    got = {
+        (r["url"], r["chem_mesh"], r["dis_mesh"], r["label"])
+        for r in labeled.collect()
+    }
+    assert got == expect
+    assert sum(1 for *_x, l in expect if l == 1) > 30  # real positives present
