@@ -104,7 +104,19 @@ def doc_with_mentions(draw):
     text = " ".join(sents)
     cpos = text.find("aspirin")
     dpos = text.find("headache")
-    return text, (cpos, cpos + 7), (dpos, dpos + 8), c_sent, d_sent
+    # Recompute the expected sentence index of each mention with the real
+    # splitter: random words can end a drawn sentence with an abbreviation
+    # ("... dr.") that the engine deliberately does NOT split on, so the
+    # draw-time indices are only an upper bound on the true ones.
+    real = split_sentences_py(text)
+
+    def sent_of(pos: int) -> int:
+        for s in real:
+            if s["start"] <= pos < s["end"]:
+                return s["idx"]
+        return -1
+
+    return text, (cpos, cpos + 7), (dpos, dpos + 8), sent_of(cpos), sent_of(dpos)
 
 
 @settings(max_examples=200, deadline=None)
