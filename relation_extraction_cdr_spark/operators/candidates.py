@@ -70,60 +70,58 @@ def levi_reject(pairs_labeled: DataFrame, gold: DataFrame, tree_map: DataFrame) 
     use ``levi_filter`` to drop them from the pipeline.
 
     tree_map: (mesh_id, tree_numbers array<string>) — broadcast dimension.
+
+    Array-aggregated formulation: gold tree numbers are collected into ONE
+    array per (url, shared endpoint) and the substring containment runs as
+    a nested ``exists`` predicate on the equi-join output.  Compared to the
+    explode → theta-semi-join → distinct shape this keeps every join an
+    equi-join, emits at most one row per negative pair (no dedup needed),
+    and costs two small aggregations instead of two semi-joins over the
+    exploded tree fan-out — the per-doc gold set is tiny, so the collected
+    arrays stay bounded.
     """
     neg = pairs_labeled.where(F.col("label") == 0).select(
         "url", "chem_mesh", "dis_mesh"
     )
-    # explode the negative DISEASE's tree numbers (reference loops over
+    # the negative DISEASE's tree numbers (reference loops over
     # ent_tree_map[neg_e2] only, cdr_dataset.py:237)
-    neg_t = (
-        neg.join(
-            F.broadcast(tree_map).withColumnRenamed("mesh_id", "dis_mesh"), "dis_mesh"
-        )
-        .select("url", "chem_mesh", "dis_mesh", F.explode("tree_numbers").alias("neg_node"))
-    )
+    neg_t = neg.join(
+        F.broadcast(tree_map).withColumnRenamed("mesh_id", "dis_mesh"), "dis_mesh"
+    ).select("url", "chem_mesh", "dis_mesh", F.col("tree_numbers").alias("neg_nodes"))
 
-    gold_dis_trees = (
+    # all gold-disease tree numbers per (url, chemical): candidates sharing
+    # the chemical test containment against ANY of these (cdr_dataset.py:238)
+    gold_dis = (
         gold.join(
             F.broadcast(tree_map).withColumnRenamed("mesh_id", "dis_mesh"), "dis_mesh"
         )
-        .select(
-            "url",
-            F.col("chem_mesh").alias("g_chem"),
-            F.explode("tree_numbers").alias("pos_node"),
-        )
+        .groupBy("url", "chem_mesh")
+        .agg(F.flatten(F.collect_list("tree_numbers")).alias("pos_dis_nodes"))
     )
-    gold_chem_trees = (
+    # all gold-chemical tree numbers per (url, disease) (cdr_dataset.py:239)
+    gold_chem = (
         gold.join(
             F.broadcast(tree_map).withColumnRenamed("mesh_id", "chem_mesh"), "chem_mesh"
         )
-        .select(
-            "url",
-            F.col("dis_mesh").alias("g_dis"),
-            F.explode("tree_numbers").alias("pos_node"),
-        )
+        .groupBy("url", "dis_mesh")
+        .agg(F.flatten(F.collect_list("tree_numbers")).alias("pos_chem_nodes"))
     )
 
-    # (a) same chemical, gold disease tree contains neg disease tree
-    rej_a = neg_t.join(
-        gold_dis_trees,
-        (neg_t.url == gold_dis_trees.url)
-        & (neg_t.chem_mesh == gold_dis_trees.g_chem)
-        & gold_dis_trees.pos_node.contains(neg_t.neg_node),
-        "left_semi",
-    )
-    # (b) same disease, gold chemical tree contains neg disease tree
-    rej_b = neg_t.join(
-        gold_chem_trees,
-        (neg_t.url == gold_chem_trees.url)
-        & (neg_t.dis_mesh == gold_chem_trees.g_dis)
-        & gold_chem_trees.pos_node.contains(neg_t.neg_node),
-        "left_semi",
-    )
+    def _contained(negs, poss):
+        # null pos array (no gold pair with that endpoint) -> not rejected
+        return F.coalesce(
+            F.exists(negs, lambda n: F.exists(poss, lambda p: p.contains(n))),
+            F.lit(False),
+        )
+
     return (
-        rej_a.select("url", "chem_mesh", "dis_mesh")
-        .unionByName(rej_b.select("url", "chem_mesh", "dis_mesh"))
-        .distinct()
+        neg_t.join(gold_dis, ["url", "chem_mesh"], "left")
+        .join(gold_chem, ["url", "dis_mesh"], "left")
+        .where(
+            _contained(F.col("neg_nodes"), F.col("pos_dis_nodes"))
+            | _contained(F.col("neg_nodes"), F.col("pos_chem_nodes"))
+        )
+        .select("url", "chem_mesh", "dis_mesh")
     )
 
 

@@ -11,6 +11,7 @@ job. Used by tests/test_plans.py and scripts/explain_audit.py.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -21,6 +22,70 @@ def formatted_plan(df: DataFrame) -> str:
     jvm = df.sparkSession._jvm
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     return df._jdf.queryExecution().explainString(mode)
+
+
+def _node_col(line: str) -> int:
+    """Column where the node name starts in a plan-tree line."""
+    idx = max(line.rfind("+- "), line.rfind(":- "))
+    return idx + 3 if idx >= 0 else len(line) - len(line.lstrip())
+
+
+def _split_sections(plan: str) -> tuple[list[str], str]:
+    """(tree lines, everything after the tree) of a formatted plan."""
+    lines = plan.splitlines()
+    tree: list[str] = []
+    rest_from = len(lines)
+    for i, l in enumerate(lines):
+        if l.startswith("== Physical Plan =="):
+            continue
+        if not l.strip():
+            rest_from = i
+            break
+        tree.append(l)
+    return tree, "\n".join(lines[rest_from:])
+
+
+def executed_plan_text(plan: str) -> str:
+    """The formatted plan reduced to what actually EXECUTES once.
+
+    `explain('formatted')` re-prints the full cache-fill plan under every
+    `InMemoryTableScan` that references a persisted subtree, so naive
+    substring counts charge a cached join/exchange once per *reference*
+    even though it runs once per *fill*.  This keeps the first occurrence
+    of each distinct InMemoryRelation subtree (the fill) and elides the
+    repeats, in both the tree section and the per-node detail blocks.
+    """
+    tree, details = _split_sections(plan)
+    out: list[str] = []
+    seen: set[str] = set()
+    i = 0
+    while i < len(tree):
+        line = tree[i]
+        out.append(line)
+        if "InMemoryRelation" in line:
+            col = _node_col(line)
+            j = i + 1
+            sub: list[str] = []
+            while j < len(tree) and _node_col(tree[j]) > col:
+                # normalize away node ids AND the tree-drawing connector
+                # prefix (': '/'+- ' differ between join-child and
+                # straight-child renderings of the same cached plan)
+                sub.append((_node_col(tree[j]), re.sub(r"\(\d+\)", "", tree[j]).lstrip(" :+-")))
+                j += 1
+            sub = [(c - sub[0][0], s) for c, s in sub] if sub else []
+            key = "|".join(f"{c}:{s}" for c, s in sub)
+            if key in seen:
+                i = j  # elide the repeated fill subtree
+                continue
+            seen.add(key)
+        i += 1
+    kept_ids = set(re.findall(r"\((\d+)\)", "\n".join(out)))
+    kept_details: list[str] = []
+    for block in re.split(r"\n(?=\(\d+\) )", details):
+        m = re.match(r"\((\d+)\) ", block.lstrip("\n"))
+        if m is None or m.group(1) in kept_ids:
+            kept_details.append(block)
+    return "\n".join(out) + "\n" + "\n".join(kept_details)
 
 
 @dataclass
@@ -44,7 +109,7 @@ class PlanFacts:
 
 
 def plan_facts(df: DataFrame) -> PlanFacts:
-    plan = formatted_plan(df)
+    plan = executed_plan_text(formatted_plan(df))
     lines = plan.splitlines()
     return PlanFacts(
         broadcast_hash_joins=plan.count("BroadcastHashJoin"),

@@ -899,7 +899,15 @@ def _doc_mentions(spark, sf_dir):
 
 
 def _doc_cooc(spark, sf_dir):
-    """Per-doc co-occurrence pairs (the labeling 'gold' for this family)."""
+    """Per-doc co-occurrence pairs (the labeling 'gold' for this family).
+
+    Persisted for the same reason as _doc_mentions: q31 references this
+    subtree three times (labeling, plus both gold-tree aggregations) and
+    q30/q33/q35 share it across the family; the cache manager keys on the
+    canonicalized plan so all references hit one copy.
+    """
+    from pyspark import StorageLevel
+
     m = _doc_mentions(spark, sf_dir)
     chem = m.where(F.col("type") == "Chemical").select(
         "url", F.col("mesh_id").alias("chem_mesh"), F.col("start").alias("cstart")
@@ -912,6 +920,7 @@ def _doc_cooc(spark, sf_dir):
         .where(F.abs(F.col("cstart") - F.col("dstart")) <= _COOC_WINDOW)
         .select("url", "chem_mesh", "dis_mesh")
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
@@ -1006,13 +1015,17 @@ def q31(spark, sf_dir):
     """Levi hypernym anti-join (J3) with substring-containment semantics
     (cdr_dataset.py:227-242) — negatives whose disease tree is contained
     in a same-endpoint gold pair's tree are dropped."""
+    from pyspark import StorageLevel
+
     from ..operators.candidates import candidate_pairs, label_pairs, levi_filter
     from ..operators.mentions import entity_inventory
 
     inv = entity_inventory(_doc_mentions(spark, sf_dir))
     pairs = candidate_pairs(inv)
     gold = _doc_cooc(spark, sf_dir)
-    labeled = label_pairs(pairs, gold)
+    # labeled feeds both the reject computation and the final anti-join;
+    # persist so the inventory/pair/label joins execute once
+    labeled = label_pairs(pairs, gold).persist(StorageLevel.MEMORY_AND_DISK)
     kept = levi_filter(labeled, gold, _doc_tree_map(spark))
     return kept.select(
         F.col("url").alias("doc_id"), "chem_mesh", "dis_mesh", F.col("label").cast("int").alias("label")

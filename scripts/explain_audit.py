@@ -32,7 +32,9 @@ def main() -> None:
         "# BENCH/PLANS.md — physical-plan audit",
         "",
         f"Plans compiled against `{sf_dir}` (pre-AQE operator counts; AQE",
-        "may further coalesce at runtime, never the reverse).",
+        "may further coalesce at runtime, never the reverse).  Cached",
+        "(persisted) subtrees are counted ONCE — the fill plan — not once",
+        "per InMemoryTableScan reference, matching what actually executes.",
         "",
         "| query | BHJ | SMJ | BNLJ | exchanges | partial aggs | pushed filters | audited |",
         "|---|---|---|---|---|---|---|---|",
