@@ -71,16 +71,28 @@ def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 def minhash_signatures(
     shingles: DataFrame, id_col: str = "doc_id", k: int = 8
 ) -> DataFrame:
-    """(id, sig array<string>): sig[i] = min md5(seed_i || shingle).
+    """(id, sig array<string>): sig[i] = min over shingles of the i-th
+    32-bit lane of md5(seed_{i//4} || shingle).
 
     One aggregation per doc computes all k mins (map-side partial agg
-    keeps the shuffle small).
+    keeps the shuffle small).  Each md5 digest provides FOUR independent
+    8-hex-char lanes, so the row-level hash cost is ceil(k/4) md5 calls,
+    not k; the digests are bound to projection columns so they are
+    computed once per row, not once per lane.
     """
+    groups = (k + 3) // 4
+    proj = shingles.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"seed{g}|"), F.col("shingle"))).alias(f"_d{g}")
+            for g in range(groups)
+        ],
+    )
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"seed{i}|"), F.col("shingle")))).alias(f"h{i}")
+        F.min(F.substring(F.col(f"_d{i // 4}"), (i % 4) * 8 + 1, 8)).alias(f"h{i}")
         for i in range(k)
     ]
-    agg = shingles.groupBy(id_col).agg(*mins)
+    agg = proj.groupBy(id_col).agg(*mins)
     return agg.select(
         id_col, F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
     )
@@ -129,7 +141,15 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over docs that share >=1 shingle (equi-join on
     shingle — no cross product).  Optionally restricted to LSH candidate
-    pairs.  Returns (a, b, jaccard) with jaccard rounded to 4dp."""
+    pairs.  Returns (a, b, jaccard) with jaccard rounded to 4dp.
+
+    The shingle input feeds three plan branches (sizes, both join sides);
+    persisting it fills the (id, shingle) stream once — at corpus scale
+    this is the materialized shingle table every self-join variant reads.
+    """
+    from pyspark import StorageLevel
+
+    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
     a = shingles.select(F.col(id_col).alias("a"), "shingle")
     b = shingles.select(F.col(id_col).alias("b"), "shingle")

@@ -653,14 +653,17 @@ def q22(spark, sf_dir):
     f"""
     WITH {_SHINGLES_CTE}
     SELECT doc_id,
-           MIN(MD5('seed0|' || shingle)) AS h0, MIN(MD5('seed1|' || shingle)) AS h1,
-           MIN(MD5('seed2|' || shingle)) AS h2, MIN(MD5('seed3|' || shingle)) AS h3
+           MIN(SUBSTRING(MD5('seed0|' || shingle), 1, 8)) AS h0,
+           MIN(SUBSTRING(MD5('seed0|' || shingle), 9, 8)) AS h1,
+           MIN(SUBSTRING(MD5('seed0|' || shingle), 17, 8)) AS h2,
+           MIN(SUBSTRING(MD5('seed0|' || shingle), 25, 8)) AS h3
     FROM shingles GROUP BY doc_id
     """,
 )
 def q23(spark, sf_dir):
     """MinHash signatures (k=4): min over md5-permuted shingle space —
-    one map-side-combinable aggregation per doc."""
+    one map-side-combinable aggregation per doc, four independent 32-bit
+    lanes per digest (one md5 per shingle row)."""
     t = _t(spark, sf_dir, "documents")
     sigs = DD.minhash_signatures(DD.word_shingles(t["documents"]), k=4)
     return sigs.select(
