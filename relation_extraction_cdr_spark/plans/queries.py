@@ -867,16 +867,40 @@ _PAIRS_CTE = f"""{_MENTIONS_CTE},
 """
 
 
+# Memoized helper DataFrames, keyed per Spark application (+ sf_dir).
+# createDataFrame yields a NEW ExistingRDD identity per call, so two
+# textually identical helper plans are NOT canonically equal — without
+# memoization every query call re-fills its own copy of the persisted
+# mentions/cooc caches instead of sharing one.
+_HELPER_MEMO: dict = {}
+
+
+def _memo(spark, key, build):
+    full_key = (spark.sparkContext.applicationId, key)
+    if full_key not in _HELPER_MEMO:
+        _HELPER_MEMO[full_key] = build()
+    return _HELPER_MEMO[full_key]
+
+
 def _doc_gazetteer(spark):
-    return spark.createDataFrame(
-        [(t, m, ty) for t, m, ty, _ in _GAZ_ROWS], "term string, mesh_id string, type string"
+    return _memo(
+        spark,
+        "gaz",
+        lambda: spark.createDataFrame(
+            [(t, m, ty) for t, m, ty, _ in _GAZ_ROWS],
+            "term string, mesh_id string, type string",
+        ),
     )
 
 
 def _doc_tree_map(spark):
-    return spark.createDataFrame(
-        [(m, [tr]) for _, m, _, tr in _GAZ_ROWS],
-        "mesh_id string, tree_numbers array<string>",
+    return _memo(
+        spark,
+        "tree_map",
+        lambda: spark.createDataFrame(
+            [(m, [tr]) for _, m, _, tr in _GAZ_ROWS],
+            "mesh_id string, tree_numbers array<string>",
+        ),
     )
 
 
@@ -885,20 +909,23 @@ def _doc_mentions(spark, sf_dir):
 
     from ..operators.mentions import detect_mentions
 
-    t = _t(spark, sf_dir, "documents")
-    docs = t["documents"].select(
-        F.col("doc_id").alias("url"), F.lower(F.col("text")).alias("text")
-    )
-    # persisted: the cooc queries reference mentions on BOTH sides of the
-    # chem x dis join, and predicate pushdown (type filter below the
-    # window exchange) defeats ReusedExchange — without the persist the
-    # whole detection subtree (scan + explode + broadcast join + window)
-    # runs twice, doubling the dominant stage at corpus scale.  Spark's
-    # cache manager keys on the canonicalized plan, so every query in
-    # this family shares one cached copy.
-    return detect_mentions(docs, _doc_gazetteer(spark)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    def build():
+        t = _t(spark, sf_dir, "documents")
+        docs = t["documents"].select(
+            F.col("doc_id").alias("url"), F.lower(F.col("text")).alias("text")
+        )
+        # persisted: the cooc queries reference mentions on BOTH sides of
+        # the chem x dis join, and predicate pushdown (type filter below
+        # the window exchange) defeats ReusedExchange — without the
+        # persist the whole detection subtree (scan + explode + broadcast
+        # join + window) runs twice, doubling the dominant stage at
+        # corpus scale.  Memoized so every query in the family holds the
+        # SAME DataFrame and therefore the same cache entry.
+        return detect_mentions(docs, _doc_gazetteer(spark)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+
+    return _memo(spark, ("mentions", sf_dir), build)
 
 
 def _doc_cooc(spark, sf_dir):
@@ -911,20 +938,23 @@ def _doc_cooc(spark, sf_dir):
     """
     from pyspark import StorageLevel
 
-    m = _doc_mentions(spark, sf_dir)
-    chem = m.where(F.col("type") == "Chemical").select(
-        "url", F.col("mesh_id").alias("chem_mesh"), F.col("start").alias("cstart")
-    )
-    dis = m.where(F.col("type") == "Disease").select(
-        "url", F.col("mesh_id").alias("dis_mesh"), F.col("start").alias("dstart")
-    )
-    return (
-        chem.join(dis, "url")
-        .where(F.abs(F.col("cstart") - F.col("dstart")) <= _COOC_WINDOW)
-        .select("url", "chem_mesh", "dis_mesh")
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    def build():
+        m = _doc_mentions(spark, sf_dir)
+        chem = m.where(F.col("type") == "Chemical").select(
+            "url", F.col("mesh_id").alias("chem_mesh"), F.col("start").alias("cstart")
+        )
+        dis = m.where(F.col("type") == "Disease").select(
+            "url", F.col("mesh_id").alias("dis_mesh"), F.col("start").alias("dstart")
+        )
+        return (
+            chem.join(dis, "url")
+            .where(F.abs(F.col("cstart") - F.col("dstart")) <= _COOC_WINDOW)
+            .select("url", "chem_mesh", "dis_mesh")
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    return _memo(spark, ("cooc", sf_dir), build)
 
 
 @register(
