@@ -199,6 +199,8 @@ def cosine_neardup_pairs(
     Norms are precomputed per row (projected once) so each pair costs a
     single dot product.
     """
+    from pyspark import StorageLevel
+
     base = emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -208,7 +210,9 @@ def cosine_neardup_pairs(
             if n_planes
             else []
         ),
-    )
+    # both join sides read base; persist so the norm/bucket projection
+    # (the per-row sin-hash fold) executes once, not per side
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     on_cols = ["_bkt"] if n_planes else []
     left = base.select(
         *on_cols, F.col("_id").alias("a"), F.col("_v").alias("va"), F.col("_n").alias("na")
