@@ -25,10 +25,18 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def _count_word(text: Column, word: str) -> Column:
-    """Occurrences of a space-delimited word: counted via length delta
-    after removal (identical trick in the SQL oracle)."""
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+def padded_text(text: Column) -> Column:
+    """The space-padded lowercase text every marker counter scans.
+
+    Bind this to a projection column BEFORE fanning out into the 24
+    marker counters: inlined, Catalyst re-lowercases the full document
+    once per counter; bound to a multiply-referenced alias,
+    CollapseProject keeps the projection and all counters share one copy.
+    """
+    return F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+
+
+def _count_padded(padded: Column, word: str) -> Column:
     needle = f" {word} "
     return (
         (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(" "))))
@@ -36,17 +44,24 @@ def _count_word(text: Column, word: str) -> Column:
     ).cast("int")
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
+def _count_word(text: Column, word: str) -> Column:
+    """Occurrences of a space-delimited word: counted via length delta
+    after removal (identical trick in the SQL oracle)."""
+    return _count_padded(padded_text(text), word)
+
+
+def lang_scores(text: Column = None, *, padded: Column = None) -> dict[str, Column]:
+    p = padded if padded is not None else padded_text(text)
     return {
-        lang: sum((_count_word(text, w) for w in words), F.lit(0))
+        lang: sum((_count_padded(p, w) for w in words), F.lit(0))
         for lang, words in LANG_MARKERS.items()
     }
 
 
-def detect_lang(text: Column) -> Column:
+def detect_lang(text: Column = None, *, padded: Column = None) -> Column:
     """n-gram-marker language ID: argmax marker count, ties broken by
     language code order, 'und' when no marker hits."""
-    scores = lang_scores(text)
+    scores = lang_scores(text, padded=padded)
     best = F.greatest(*scores.values())
     expr = F.lit("und")
     for lang in sorted(LANG_MARKERS, reverse=True):

@@ -540,7 +540,9 @@ def q17(spark, sf_dir):
     t = _t(spark, sf_dir, "documents")
     return (
         t["documents"]
-        .select(Q.detect_lang(F.col("text")).alias("detected_lang"))
+        # bind the padded text once; all 24 marker counters share it
+        .select(Q.padded_text(F.col("text")).alias("_p"))
+        .select(Q.detect_lang(padded=F.col("_p")).alias("detected_lang"))
         .groupBy("detected_lang")
         .agg(F.count("*").alias("n"))
     )
