@@ -18,6 +18,8 @@ rounded to 6dp when a comparable result is required.
 
 from __future__ import annotations
 
+import hashlib
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -79,32 +81,82 @@ def cosine_topk(
     )
 
 
+QUANT_SCALE = 1_000_000  # fixed-point scale for integer-exact projections
+
+
+def srp_weights(n_planes: int = 8, dim: int = 64, seed: int = 42) -> list[list[int]]:
+    """Deterministic integer hyperplane weights in [-2^31, 2^31).
+
+    md5-derived so ANY engine (Spark, DuckDB, plain Python) regenerates
+    the identical hyperplanes from (seed, plane, dim) — no libm, no RNG
+    state.  Weights are compile-time constants: they enter the plan as
+    array literals, so bucketing costs zero per-row hashing.
+    """
+    return [
+        [
+            int(hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()[:8], 16) - 2**31
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def quantize_vec(vec_col):
+    """floor(v * 1e6) as bigint per element — the integer-exact fixed-
+    point view of a float embedding.  floor (not round) because its
+    semantics are identical across engines; the float->double widening
+    and the double multiply are exactly specified by IEEE 754, so every
+    engine produces the same integers."""
+    return F.transform(
+        vec_col, lambda v: F.floor(v.cast("double") * QUANT_SCALE).cast("long")
+    )
+
+
 def srp_bucket(vec_col, n_planes: int = 8, dim: int = 64, seed: int = 42):
     """Sign-random-projection bucket id (0..2^n_planes-1).
 
-    Hyperplane p's weight for dimension d is a deterministic pseudo-random
-    value in [-0.5, 0.5): frac(sin(seed + p*dim + d) * 43758.5453) - 0.5 —
-    the classic shader-noise hash; identical everywhere, no state.
+    Integer-exact: bit p = 1 iff sum_d quantize(v_d) * W[p][d] >= 0 with
+    64-bit integer accumulation (|term| <= 1e6 * 2^31, x64 dims, well
+    under the bigint range).  Integer addition is associative, so the
+    result is reproducible in any engine at any parallelism — this is
+    what makes the LSH queries DuckDB-oracle-checkable value-by-value.
     """
+    weights = srp_weights(n_planes, dim, seed)
+    q = quantize_vec(vec_col)
     bucket = F.lit(0)
     for p in range(n_planes):
         proj = F.aggregate(
             F.zip_with(
-                vec_col,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda d: (
-                        (F.sin(F.lit(float(seed + p * dim)) + d.cast("double"))
-                         * 43758.5453) % 1.0 + 1.0
-                    ) % 1.0 - 0.5,
-                ),
-                lambda x, w: x.cast("double") * w,
+                q,
+                F.array(*[F.lit(w) for w in weights[p]]),
+                lambda x, w: x * w,
             ),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
         bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
+
+
+def quantize_sql(vec_expr: str) -> str:
+    """SQL rendering of ``quantize_vec`` (DuckDB oracle side)."""
+    return (
+        f"list_transform({vec_expr}, "
+        f"x -> CAST(FLOOR(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT))"
+    )
+
+
+def srp_bucket_sql(qcol: str, n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """SQL rendering of ``srp_bucket`` over a pre-quantized list column
+    (see ``quantize_sql``): same md5-derived weight literals, same
+    integer dot products, 1-indexed list access — value-identical to the
+    Spark expression in any engine."""
+    weights = srp_weights(n_planes, dim, seed)
+    bits = []
+    for p in range(n_planes):
+        terms = " + ".join(f"{qcol}[{d + 1}] * ({weights[p][d]})" for d in range(dim))
+        bits.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
 
 
 def ann_lsh_topk(

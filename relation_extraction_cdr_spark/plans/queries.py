@@ -783,10 +783,19 @@ def q27(spark, sf_dir):
     )
 
 
-@register("q32_srp_buckets")  # no SQL oracle: libm sin() may differ by ulps
+@register(
+    "q32_srp_buckets",
+    f"""
+    WITH q AS (SELECT {ANN.quantize_sql('embedding')} AS qv FROM embeddings),
+    b AS (SELECT {ANN.srp_bucket_sql('qv', n_planes=6)} AS bucket FROM q)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY bucket
+    """,
+)
 def q32(spark, sf_dir):
     """Sign-random-projection LSH bucket histogram (ANN scale path).
-    Rows-only driver check; exact-vs-LSH recall is pytest-verified."""
+    Oracle-checkable because the hyperplanes are md5-derived integer
+    literals and the projections integer-exact (operators/ann.py);
+    exact-vs-LSH recall is pytest-verified."""
     t = _t(spark, sf_dir, "embeddings")
     return (
         t["embeddings"]
@@ -1216,9 +1225,23 @@ def q37(spark, sf_dir):
     )
 
 
-@register("q38_embed_neardup_lsh")  # no SQL oracle: SRP hyperplanes use
-# libm sin() (ulp-level engine differences); subset-of-exact + recall are
-# pytest-verified in tests/test_ann.py
+@register(
+    "q38_embed_neardup_lsh",
+    f"""
+    WITH e AS (SELECT vec_id, embedding, {_NORM_SQL('embedding')} AS nrm,
+                      {ANN.quantize_sql('embedding')} AS qv
+               FROM embeddings),
+    eb AS (SELECT vec_id, embedding, nrm,
+                  {ANN.srp_bucket_sql('qv', n_planes=4)} AS bkt FROM e),
+    pairs AS (
+      SELECT x.vec_id AS a, y.vec_id AS b,
+             x.embedding AS va, y.embedding AS vb, x.nrm AS na, y.nrm AS nb
+      FROM eb x JOIN eb y ON x.bkt = y.bkt AND x.vec_id < y.vec_id)
+    SELECT a, b, cos_sim FROM (
+      SELECT a, b, ROUND({_PAIR_DOT_SQL} / (na * nb), 6) AS cos_sim FROM pairs)
+    WHERE cos_sim >= 0.35
+    """,
+)
 def q38(spark, sf_dir):
     """SRP-bucketed embedding near-dup (the 100 TB path): pairs are
     generated per LSH bucket via an equi-join on the bucket id — cost
