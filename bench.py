@@ -45,6 +45,7 @@ HEADLINE = [
     "q30_cdr_triples",
     "q37_multimodal_features",
     "q38_embed_neardup_lsh",
+    "q41_ivf_topk",
 ]
 
 

@@ -1276,3 +1276,64 @@ def q39(spark, sf_dir):
     return out.withColumn(
         "total_value", F.round(F.col("total_value"), 4).cast("double")
     )
+
+
+_IVF_CENTS_CTE = f"""
+    cents AS (
+      SELECT vec_id AS centroid_id, {ANN.quantize_sql('embedding')} AS cq
+      FROM embeddings
+      ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+    cents2 AS (
+      SELECT centroid_id, cq,
+             SQRT(CAST({ANN.int_dot_sql('cq', 'cq')} AS DOUBLE)) AS cn
+      FROM cents)
+"""
+
+
+@register(
+    "q41_ivf_topk",
+    f"""
+    WITH {_IVF_CENTS_CTE},
+    corpus AS (SELECT vec_id, embedding, {ANN.quantize_sql('embedding')} AS qv
+               FROM embeddings),
+    assigned AS (
+      SELECT vec_id, embedding AS cvec, centroid_id FROM (
+        SELECT c.vec_id, c.embedding, t.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                 ORDER BY CAST({ANN.int_dot_sql('c.qv', 't.cq')} AS DOUBLE) / t.cn DESC,
+                          t.centroid_id ASC) AS rk
+        FROM corpus c CROSS JOIN cents2 t)
+      WHERE rk = 1),
+    probes AS (
+      SELECT query_id, qvec, centroid_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qvec, t.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY CAST({ANN.int_dot_sql('q.qv', 't.cq')} AS DOUBLE) / t.cn DESC,
+                          t.centroid_id ASC) AS rk
+        FROM corpus q CROSS JOIN cents2 t WHERE q.vec_id < 3)
+      WHERE rk <= 4),
+    sims AS (
+      SELECT p.query_id, a.vec_id,
+             ROUND({_DOT_SQL} / ({_NORM_SQL('qvec')} * {_NORM_SQL('cvec')}), 6) AS cos_sim
+      FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id <> p.query_id)
+    SELECT query_id, vec_id, cos_sim, CAST(rnk AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      FROM sims)
+    WHERE rnk <= 5
+    """,
+)
+def q41(spark, sf_dir):
+    """IVF (inverted-file) approximate top-k — the second ANN scale path
+    next to SRP-LSH (q38): a deterministic md5-sampled coarse quantizer
+    partitions the corpus into inverted lists (one broadcast assignment
+    pass), queries probe their nprobe=4 nearest lists, exact cosine
+    ranking within.  Integer-exact centroid scoring makes the whole
+    path DuckDB-oracle-checkable; recall vs the exact q26 baseline is
+    pytest-measured."""
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    return ANN.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 3), k=5, n_centroids=16, nprobe=4
+    )

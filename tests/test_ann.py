@@ -111,3 +111,38 @@ def test_cosine_neardup_bucketed_subset(spark, emb):
         assert abs(v - exact[k]) < 1e-9
     assert exact, "fixture produced no near-dup pairs; threshold too high"
     assert len(approx) / len(exact) >= 0.1, (len(approx), len(exact))
+
+
+def test_ivf_recall_and_structure(spark, emb):
+    """IVF top-k: every vector lands in exactly one inverted list, the
+    probe path beats a random-subset recall floor, and in-list ranking
+    agrees with the exact scores."""
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = ANN.cosine_topk(emb, queries, k=5).collect()
+    approx = ANN.ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).collect()
+
+    # single-assignment invariant
+    cents = ANN.ivf_centroids(emb, 16)
+    assigned = ANN.ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()
+    assert assigned.select("vec_id").distinct().count() == emb.count()
+
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # probing 4/16 lists must beat the 25% random-subset floor on average
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+    # approx cos_sims are true cosines (subset-of-exact scores where ids
+    # overlap)
+    exact_scores = {(r["query_id"], r["vec_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_scores:
+            assert abs(r["cos_sim"] - exact_scores[key]) < 1e-9
