@@ -210,3 +210,80 @@ def simhash_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
         .agg(F.count("*").alias("bucket_size"), F.min(id_col).alias("rep_id"))
         .where(F.col("bucket_size") > 1)
     )
+
+
+def connected_components(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected pair graph — the
+    clustering step after near-dup pair generation (every doc in a
+    component is a duplicate of the others; the min id is the canonical
+    representative).  Returns (v, cluster_id).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds.  Near-dup graphs are unions of small
+    quasi-cliques, so the diameter is tiny; at 10^12-doc scale each round
+    is one equi-join + one groupBy (shuffle on the node id), labels are
+    persisted per round to truncate lineage, and the driver-side loop
+    carries only the converged/changed counter (never row data).
+    """
+    from pyspark import StorageLevel
+
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        sym.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        # label each node with the min of (own label, neighbors' labels)
+        prop = sym.join(labels, sym.src == labels.v).select(
+            F.col("dst").alias("v"), "label"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("v"), F.col("label").alias("cluster_id"))
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n: int = 3,
+) -> DataFrame:
+    """End-to-end dedup clustering: n-gram Jaccard pairs -> connected
+    components -> one row per cluster with its canonical representative
+    (min id) and size.  Returns (cluster_id, size, members array sorted).
+    """
+    pairs = jaccard_pairs(word_shingles(docs, id_col, text_col, n), id_col, threshold)
+    cc = connected_components(pairs)
+    return (
+        cc.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("size"),
+            F.array_sort(F.collect_list("v")).alias("members"),
+        )
+    )

@@ -1337,3 +1337,45 @@ def q41(spark, sf_dir):
     return ANN.ivf_topk(
         emb, emb.where(F.col("vec_id") < 3), k=5, n_centroids=16, nprobe=4
     )
+
+
+@register(
+    "q42_neardup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+      FROM shingles x JOIN shingles y USING (shingle)
+      WHERE x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id),
+    pairs AS (
+      SELECT a, b FROM inter
+      JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      WHERE i / (sa.n + sb.n - i) >= 0.2),
+    edges AS (SELECT a AS src, b AS dst FROM pairs
+              UNION SELECT b, a FROM pairs),
+    reach(v, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.v = e.src),
+    labels AS (SELECT v, MIN(r) AS cluster_id FROM reach GROUP BY v)
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size,
+           STRING_AGG(CAST(v AS VARCHAR), ',' ORDER BY v) AS members
+    FROM labels GROUP BY cluster_id
+    """,
+)
+def q42(spark, sf_dir):
+    """Near-dup clustering: exact Jaccard pairs (q24 semantics) grouped
+    into connected components by distributed min-label propagation — the
+    canonicalization step a corpus-scale dedup pipeline runs after pair
+    generation.  The DuckDB oracle computes the same components with a
+    recursive CTE (min reachable id per node)."""
+    t = _t(spark, sf_dir, "documents")
+    clusters = DD.neardup_clusters(t["documents"], threshold=0.2)
+    return clusters.select(
+        "cluster_id",
+        F.col("size").cast("long").alias("size"),
+        F.concat_ws(
+            ",", F.transform(F.col("members"), lambda m: m.cast("string"))
+        ).alias("members"),
+    )

@@ -67,3 +67,39 @@ def test_simhash(docs):
     assert ham <= 6
     buckets = DD.simhash_buckets(docs).collect()
     assert any(r["bucket_size"] >= 2 for r in buckets)
+
+
+def test_connected_components_matches_union_find(spark):
+    """CC min-label propagation vs a plain union-find oracle on a graph
+    with a chain (forces multi-round propagation), a clique, an isolated
+    edge, and disjoint singleton-free structure."""
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),           # chain -> component {1..5}
+        (10, 11), (10, 12), (11, 12),             # triangle
+        (20, 21),                                 # isolated pair
+        (30, 5),                                  # joins the chain late
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for a, b in edges:
+        union(a, b)
+    expect = {v: find(v) for v in parent}
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["v"]: r["cluster_id"]
+        for r in DD.connected_components(df).collect()
+    }
+    assert got == expect
