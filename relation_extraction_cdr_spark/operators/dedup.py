@@ -287,3 +287,54 @@ def neardup_clusters(
             F.array_sort(F.collect_list("v")).alias("members"),
         )
     )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming, found
+    via band splits: docs agreeing on ANY of the ``bands`` equal-width
+    signature slices become candidates (equi-join on (band, value)),
+    then the exact Hamming filter runs on the candidates.
+
+    Pigeonhole guarantee: with max_hamming < bands, any pair within the
+    Hamming radius differs in fewer bits than there are bands, so at
+    least one band is untouched and the pair IS generated — the banded
+    result exactly equals the brute-force O(n^2) Hamming join (this is
+    the property the q43 oracle verifies).  Cost stays O(sum bucket^2)
+    on 2^(bits/bands)-sized buckets instead of O(n^2).
+    """
+    from pyspark import StorageLevel
+
+    r = bits // bands
+    s = simhash(docs, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * r).bitwiseAND(F.lit((1 << r) - 1))
+            for i in range(bands)
+        ]
+    )
+    banded = s.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(band_vals).alias("band", "bval"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("sa"), "band", "bval"
+    )
+    right = banded.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("sb"), "band", "bval"
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+    return (
+        left.join(right, ["band", "bval"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -695,19 +695,25 @@ def q24(spark, sf_dir):
     return DD.jaccard_pairs(DD.word_shingles(t["documents"]), threshold=0.2)
 
 
-def _simhash_sql() -> str:
+def _simhash_cte() -> str:
+    """CTE chain ending in sigs(doc_id, simhash) — the SQL rendering of
+    operators.dedup.simhash, shared by q25 and q43."""
     nib = lambda pos: f"(STRPOS('0123456789abcdef', SUBSTR(MD5(tok), {pos}, 1)) - 1)"
     val = f"({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
     sums = ", ".join(f"SUM((val // {1 << j}) % 2) AS s{j}" for j in range(16))
     sig = " + ".join(f"(CASE WHEN s{j} * 2 >= n THEN {1 << j} ELSE 0 END)" for j in range(16))
     return f"""
-    WITH toks AS (
+    toks AS (
       SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS tok
       FROM documents),
     vals AS (SELECT doc_id, {val} AS val FROM toks),
-    bits AS (SELECT doc_id, COUNT(*) AS n, {sums} FROM vals GROUP BY doc_id)
-    SELECT doc_id, CAST({sig} AS INT) AS simhash FROM bits
+    bits AS (SELECT doc_id, COUNT(*) AS n, {sums} FROM vals GROUP BY doc_id),
+    sigs AS (SELECT doc_id, CAST({sig} AS INT) AS simhash FROM bits)
     """
+
+
+def _simhash_sql() -> str:
+    return f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM sigs"
 
 
 @register("q25_simhash", _simhash_sql())
@@ -1379,3 +1385,23 @@ def q42(spark, sf_dir):
             ",", F.transform(F.col("members"), lambda m: m.cast("string"))
         ).alias("members"),
     )
+
+
+@register(
+    "q43_simhash_hamming",
+    f"""
+    WITH {_simhash_cte()}
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           CAST(BIT_COUNT(XOR(x.simhash, y.simhash)) AS INT) AS hamming
+    FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+    WHERE BIT_COUNT(XOR(x.simhash, y.simhash)) <= 3
+    """,
+)
+def q43(spark, sf_dir):
+    """SimHash near-dup pairs within Hamming distance 3, generated by the
+    banded equi-join (4 bands x 4 bits).  The oracle is the BRUTE-FORCE
+    O(n^2) Hamming join: with max_hamming < bands the pigeonhole
+    principle makes the banded result exactly equal to it, so the hash
+    match proves the banding loses no pairs."""
+    t = _t(spark, sf_dir, "documents")
+    return DD.simhash_neardup_pairs(t["documents"], max_hamming=3, bands=4)

@@ -103,3 +103,22 @@ def test_connected_components_matches_union_find(spark):
         for r in DD.connected_components(df).collect()
     }
     assert got == expect
+
+
+def test_simhash_hamming_band_equals_bruteforce(spark, docs):
+    """Pigeonhole exactness: with max_hamming < bands, the banded join
+    finds EVERY pair within the Hamming radius (same result as the
+    O(n^2) brute force over collected signatures)."""
+    sigs = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs).collect()}
+    ids = sorted(sigs)
+    expect = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in DD.simhash_neardup_pairs(docs, max_hamming=3, bands=4).collect()
+    }
+    assert got == expect
