@@ -224,23 +224,30 @@ def connected_components(
     takes the minimum label among itself and its neighbors; converges in
     O(component diameter) rounds.  Near-dup graphs are unions of small
     quasi-cliques, so the diameter is tiny; at 10^12-doc scale each round
-    is one equi-join + one groupBy (shuffle on the node id), labels are
-    persisted per round to truncate lineage, and the driver-side loop
-    carries only the converged/changed counter (never row data).
-    """
-    from pyspark import StorageLevel
+    is one equi-join + one groupBy (shuffle on the node id), and the
+    driver-side loop carries only the converged/changed counter (never
+    row data).
 
+    Lineage: each round's labels are eagerly ``localCheckpoint``-ed.  A
+    plain persist is NOT enough — unpersisting inside the loop leaves the
+    final DataFrame's lineage referencing every round, so a downstream
+    consumer would re-execute the whole iterative history as one giant
+    plan.  Checkpointing truncates the lineage to the stored partitions;
+    on a fault-tolerant cluster use ``spark.sparkContext.setCheckpointDir``
+    + ``.checkpoint()`` instead (localCheckpoint trades HDFS durability
+    for speed, which is the right call per-job).
+    """
     sym = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("src").alias("v"))
         .distinct()
         .withColumn("label", F.col("v"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         # label each node with the min of (own label, neighbors' labels)
@@ -251,7 +258,7 @@ def connected_components(
             labels.unionByName(prop)
             .groupBy("v")
             .agg(F.min("label").alias("label"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -259,11 +266,9 @@ def connected_components(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    sym.unpersist()
     return labels.select(F.col("v"), F.col("label").alias("cluster_id"))
 
 
