@@ -46,6 +46,7 @@ HEADLINE = [
     "q37_multimodal_features",
     "q38_embed_neardup_lsh",
     "q41_ivf_topk",
+    "q43_simhash_hamming",
 ]
 
 
