@@ -40,3 +40,17 @@ def test_q01_column_pruning(spark):
     facts = plan_facts(QUERIES["q01_pricing_summary"](spark, SF_DIR))
     assert facts.read_schemas, "no parquet scan found"
     assert all(n <= 8 for n in facts.scan_columns), facts.read_schemas
+
+
+def test_doc_family_helpers_are_memoized(spark):
+    """Regression: createDataFrame yields a fresh ExistingRDD identity per
+    call, so two identically-built helper plans are never canonically
+    equal and persisted caches silently stop being shared.  The helpers
+    must return the SAME DataFrame object per (app, sf_dir)."""
+    from relation_extraction_cdr_spark.plans import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    assert Q._doc_mentions(spark, sf) is Q._doc_mentions(spark, sf)
+    assert Q._doc_cooc(spark, sf) is Q._doc_cooc(spark, sf)
+    assert Q._doc_gazetteer(spark) is Q._doc_gazetteer(spark)
+    assert Q._doc_tree_map(spark) is Q._doc_tree_map(spark)
