@@ -1405,3 +1405,32 @@ def q43(spark, sf_dir):
     match proves the banding loses no pairs."""
     t = _t(spark, sf_dir, "documents")
     return DD.simhash_neardup_pairs(t["documents"], max_hamming=3, bands=4)
+
+
+@register(
+    "q44_kg_degree",
+    f"""
+    WITH {_PAIRS_CTE},
+    triples AS (
+      SELECT chem_mesh, dis_mesh FROM cooc
+      GROUP BY chem_mesh, dis_mesh HAVING COUNT(*) >= 2),
+    degs AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT chem_mesh AS node FROM triples
+        UNION ALL SELECT dis_mesh AS node FROM triples) GROUP BY node)
+    SELECT CAST(degree AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM degs GROUP BY degree
+    """,
+)
+def q44(spark, sf_dir):
+    """Degree distribution of the materialized knowledge graph: node
+    incidence counts over the deduplicated triple table (q30 semantics),
+    histogrammed — the sanity-check analytics a triple factory runs after
+    every materialization (hub detection, skew monitoring for the
+    adjacency groupBy)."""
+    triples = QUERIES["q30_cdr_triples"](spark, sf_dir)
+    nodes = triples.select(F.col("subj").alias("node")).unionAll(
+        triples.select(F.col("obj").alias("node"))
+    )
+    degs = nodes.groupBy("node").agg(F.count("*").alias("degree"))
+    return degs.groupBy("degree").agg(F.count("*").alias("n_nodes"))
