@@ -49,3 +49,18 @@ def test_tacred(spark, tmp_path):
     rows = read_tacred(spark, str(p)).collect()
     assert rows[0]["text"] == "John is CEO"
     assert rows[0]["relation"] == "per:title"
+
+
+def test_vocab_scan_order_and_duplicates(spark, tmp_path):
+    """S5: token = first TSV field stripped, id = 0-based line index,
+    duplicate token keeps the LATER id while indices keep advancing
+    (tokenization.py:72-85)."""
+    from relation_extraction_cdr_spark.sources.vocab import read_vocab, vocab_dict
+
+    p = tmp_path / "vocab.tsv"
+    p.write_text("<pad>\t0.0\n<unk>\t-1.5\nhello\t-2.0\nhello\t-3.0\nworld \t-4.0\n")
+    df = read_vocab(spark, str(p))
+    rows = {(r["token"], r["token_id"]) for r in df.collect()}
+    assert rows == {("<pad>", 0), ("<unk>", 1), ("hello", 2), ("hello", 3), ("world", 4)}
+    d = vocab_dict(df)
+    assert d == {"<pad>": 0, "<unk>": 1, "hello": 3, "world": 4}
