@@ -1434,3 +1434,31 @@ def q44(spark, sf_dir):
     )
     degs = nodes.groupBy("node").agg(F.count("*").alias("degree"))
     return degs.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+@register(
+    "q45_length_quantiles",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(quantile_cont(n_chars, 0.5), 4) AS p50,
+           ROUND(quantile_cont(n_chars, 0.9), 4) AS p90,
+           ROUND(quantile_cont(n_chars, 0.99), 4) AS p99
+    FROM documents GROUP BY lang
+    """,
+)
+def q45(spark, sf_dir):
+    """Curation monitoring: EXACT doc-length quantiles per language
+    (linear interpolation — Spark percentile() and DuckDB quantile_cont
+    agree bit-for-bit on the same integers).  The distribution gate a
+    corpus pipeline runs per ingest batch; at 10^12 docs swap in
+    percentile_approx with a documented error bound — the approximate
+    variant is deliberately NOT oracled because sketches differ across
+    engines."""
+    t = _t(spark, sf_dir, "documents")
+    return t["documents"].groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.percentile("n_chars", 0.5), 4).alias("p50"),
+        F.round(F.percentile("n_chars", 0.9), 4).alias("p90"),
+        F.round(F.percentile("n_chars", 0.99), 4).alias("p99"),
+    )
