@@ -55,6 +55,22 @@ def materialize(df) -> int:
     return 0
 
 
+def reset_data_caches(spark) -> None:
+    """Drop persisted DataFrames AND the memoized helper DataFrames.
+
+    Several operators persist shared subtrees (shingles, mentions, ANN
+    base).  Without this reset between the warm and the timed run, the
+    timed rebuild produces a canonically-equal plan, Spark substitutes
+    the warm run's InMemoryTableScan, and the 'measurement' reports
+    cache-scan speed instead of query cost.  After the reset the timed
+    run pays for its own cache fills — the honest steady-state number.
+    """
+    from relation_extraction_cdr_spark.plans import queries as Q
+
+    spark.catalog.clearCache()
+    Q._HELPER_MEMO.clear()
+
+
 def main() -> None:
     os.environ["SPARK_GRAFT_CPUS"] = CPUS
     from relation_extraction_cdr_spark import datagen
@@ -70,8 +86,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        reset_data_caches(spark)
         df = QUERIES[name](spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()  # warm (scan cache, JIT)
+        reset_data_caches(spark)  # timed run pays its own cache fills
         t0 = time.perf_counter()
         materialize(QUERIES[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -83,17 +83,20 @@ def punct_ratio(text: Column) -> Column:
     return F.round(punct / F.greatest(F.length(text), F.lit(1)), 4)
 
 
-def stopword_ratio(text: Column, lang: str = "en") -> Column:
-    hits = sum((_count_word(text, w) for w in LANG_MARKERS[lang]), F.lit(0))
+def stopword_ratio(text: Column, lang: str = "en", *, padded: Column = None) -> Column:
+    """Pass ``padded`` (a bound padded_text column) in hot paths so the
+    marker counters share one padded copy — same trap as detect_lang."""
+    p = padded if padded is not None else padded_text(text)
+    hits = sum((_count_padded(p, w) for w in LANG_MARKERS[lang]), F.lit(0))
     return F.round(hits / F.greatest(word_count(text), F.lit(1)), 4)
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, *, padded: Column = None) -> Column:
     """Composite curation score in [0,1]: length band + stopword presence
     - punctuation excess.  The exact formula is the contract."""
     wc = word_count(text)
     len_term = F.least(wc / F.lit(100.0), F.lit(1.0))
-    stop_term = F.least(stopword_ratio(text) * 5, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text, padded=padded) * 5, F.lit(1.0))
     punct_term = F.least(punct_ratio(text) * 5, F.lit(1.0))
     return F.round((len_term * 0.5 + stop_term * 0.4 - punct_term * 0.1 + 0.1), 4)
 

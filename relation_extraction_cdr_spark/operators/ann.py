@@ -385,9 +385,9 @@ def ivf_topk(
     Returns (query_id, vec_id, cos_sim, rank)."""
     from pyspark import StorageLevel
 
-    cents = centroids_persisted = ivf_centroids(
-        corpus, n_centroids, id_col, vec_col
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     lists = ivf_assign(corpus, cents, id_col, vec_col)
 
     # query-side probe set: nprobe best centroids per query

@@ -71,6 +71,11 @@ def levi_reject(pairs_labeled: DataFrame, gold: DataFrame, tree_map: DataFrame) 
 
     tree_map: (mesh_id, tree_numbers array<string>) — broadcast dimension.
 
+    Precondition: ``pairs_labeled`` is unique per (url, chem_mesh,
+    dis_mesh) — candidate_pairs guarantees this (the inventory is unique
+    per (url, mesh)); given that, the output has at most one row per
+    rejected pair and needs no dedup.
+
     Array-aggregated formulation: gold tree numbers are collected into ONE
     array per (url, shared endpoint) and the substring containment runs as
     a nested ``exists`` predicate on the equi-join output.  Compared to the

@@ -146,6 +146,9 @@ def jaccard_pairs(
     The shingle input feeds three plan branches (sizes, both join sides);
     persisting it fills the (id, shingle) stream once — at corpus scale
     this is the materialized shingle table every self-join variant reads.
+    The persist lives for the application (no unpersist path): batch
+    jobs end and drop it; a long-lived service calling this over many
+    inputs should spark.catalog.clearCache() between corpora.
     """
     from pyspark import StorageLevel
 
@@ -249,6 +252,7 @@ def connected_components(
         .withColumn("label", F.col("v"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         # label each node with the min of (own label, neighbors' labels)
         prop = sym.join(labels, sym.src == labels.v).select(
@@ -266,9 +270,22 @@ def connected_components(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the superseded round's checkpointed partitions are freed by the
+        # ContextCleaner once this reference drops (lineage was truncated,
+        # so nothing downstream pins them)
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silently-partial labels would split one true component into
+        # several with no signal — refuse instead (a diameter above
+        # max_iter means the caller should raise it or switch to the
+        # doubling variant label <- min(label[label]))
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter)"
+        )
     return labels.select(F.col("v"), F.col("label").alias("cluster_id"))
 
 
@@ -316,6 +333,14 @@ def simhash_neardup_pairs(
     """
     from pyspark import StorageLevel
 
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bands={bands}: the banded join "
+            "would silently drop in-radius pairs (pigeonhole needs one "
+            "untouched band)"
+        )
+    if bits % bands:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
     r = bits // bands
     s = simhash(docs, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     band_vals = F.array(

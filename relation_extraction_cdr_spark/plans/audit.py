@@ -54,6 +54,12 @@ def executed_plan_text(plan: str) -> str:
     even though it runs once per *fill*.  This keeps the first occurrence
     of each distinct InMemoryRelation subtree (the fill) and elides the
     repeats, in both the tree section and the per-node detail blocks.
+
+    Limitation: identity is the normalized subtree TEXT, so two distinct
+    caches built from identical plans (the createDataFrame-identity
+    regression _memo guards against) would be conflated and undercounted
+    — acceptable because tests/test_plans.py pins the memoization that
+    prevents such twin caches from existing.
     """
     tree, details = _split_sections(plan)
     out: list[str] = []

@@ -683,9 +683,10 @@ def q23(spark, sf_dir):
       SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
       FROM shingles x JOIN shingles y USING (shingle)
       WHERE x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id)
-    SELECT a, b, ROUND(i / (sa.n + sb.n - i), 4) AS jaccard
-    FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-    WHERE i / (sa.n + sb.n - i) >= 0.2
+    SELECT a, b, jaccard FROM (
+      SELECT a, b, ROUND(i / (sa.n + sb.n - i), 4) AS jaccard
+      FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+    WHERE jaccard >= 0.2
     """,
 )
 def q24(spark, sf_dir):
@@ -1357,7 +1358,7 @@ def q41(spark, sf_dir):
     pairs AS (
       SELECT a, b FROM inter
       JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-      WHERE i / (sa.n + sb.n - i) >= 0.2),
+      WHERE ROUND(i / (sa.n + sb.n - i), 4) >= 0.2),
     edges AS (SELECT a AS src, b AS dst FROM pairs
               UNION SELECT b, a FROM pairs),
     reach(v, r) AS (

@@ -122,3 +122,17 @@ def test_simhash_hamming_band_equals_bruteforce(spark, docs):
         for r in DD.simhash_neardup_pairs(docs, max_hamming=3, bands=4).collect()
     }
     assert got == expect
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A diameter above max_iter must raise, never return partial labels
+    (silent splits would diverge from the exact recursive-CTE oracle)."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(chain, "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.connected_components(df, max_iter=2)
+    # and with enough rounds the same chain converges to one component
+    labels = {r["cluster_id"] for r in DD.connected_components(df, max_iter=10).collect()}
+    assert labels == {0}
