@@ -144,3 +144,31 @@ def sessionize_stateful(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def stream_dedup(
+    pages: DataFrame,
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Streaming exact dedup for a crawl-ingest feed: drop re-crawled /
+    mirrored pages whose normalized text fingerprint was already seen
+    within the watermark horizon.
+
+    Built on dropDuplicatesWithinWatermark keyed by the md5 fingerprint
+    (same normalization as the batch exact_dedup operator, so batch and
+    stream agree on what counts as a duplicate).  State design at
+    10^12-doc scale: the store keeps ONE row per distinct fingerprint
+    seen inside the watermark window and the watermark evicts older
+    state — unbounded-corpus safe, unlike plain dropDuplicates whose
+    state never ages out.  Works identically on a batch frame (the
+    watermark is a no-op there), which is how the test oracles it.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    fp = pages.withColumn("_fp", F.md5(norm)).withWatermark(ts_col, watermark)
+    if pages.isStreaming:
+        deduped = fp.dropDuplicatesWithinWatermark(["_fp"])
+    else:
+        deduped = fp.dropDuplicates(["_fp"])
+    return deduped.drop("_fp")

@@ -145,3 +145,41 @@ def test_sessionize_stateful_matches_batch(spark, tmp_path):
     per_user_got = Counter(u for (u, _, _, _) in got)
     for u, cnt in per_user_exp.items():
         assert per_user_got.get(u, 0) >= cnt - 1, (u, cnt, per_user_got.get(u))
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: a re-crawl of every page (same text, new
+    url/ts) is dropped inside the watermark horizon; one row per
+    distinct fingerprint survives, matching the batch distinct count."""
+    from relation_extraction_cdr_spark.streaming.windows import stream_dedup
+
+    pages, _, _ = datagen.gen_fixture_dfs(spark, 15)
+    recrawl = pages.withColumn(
+        "url", F.concat(F.col("url"), F.lit("?mirror=1"))
+    ).withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 HOUR"))
+    feed = pages.unionByName(recrawl)
+    in_dir = str(tmp_path / "dd_in"); out_dir = str(tmp_path / "dd_out")
+    cp = str(tmp_path / "dd_cp")
+    feed.write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(feed.schema).parquet(in_dir)
+    q = (
+        stream_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    n_distinct = (
+        feed.select(
+            F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+        ).distinct().count()
+    )
+    assert got.count() == n_distinct
+    # batch mode agrees on the number of survivors
+    assert stream_dedup(feed).count() == n_distinct
