@@ -221,10 +221,17 @@ def gen_pages_df(spark: SparkSession, n_docs: int, seed: int = 42,
         return pd.Series(out)
 
     rng = spark.range(n_docs, numPartitions=partitions or spark.sparkContext.defaultParallelism)
-    return rng.select(
+    # bind the UDF output ONCE and derive html from the bound column with
+    # JVM concat/encode — two independent gen_text('id') expressions would
+    # each be evaluated, doubling generation CPU per row
+    with_text = rng.withColumn("text", gen_text("id"))
+    return with_text.select(
         F.concat(F.lit(f"https://ex{seed}.org/doc/"), F.col("id")).alias("url"),
         (F.lit(1704067200) + F.col("id")).cast("timestamp").alias("warc_ts"),
-        F.encode(F.concat(F.lit("<html><body><p>"), gen_text("id"), F.lit("</p></body></html>")), "UTF-8").alias("html"),
-        gen_text("id").alias("text"),
+        F.encode(
+            F.concat(F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")),
+            "UTF-8",
+        ).alias("html"),
+        "text",
         F.when(F.col("id") % 17 == 16, "ja").otherwise("en").alias("lang"),
     )

@@ -103,6 +103,9 @@ def quality_score(text: Column, *, padded: Column = None) -> Column:
 
 def fingerprint(text: Column, length: int = 16) -> Column:
     """Deterministic document fingerprint: md5 of the whitespace-
-    normalized lowercase text, truncated (rolling-hash analog)."""
-    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
-    return F.substring(F.md5(norm), 1, length)
+    normalized lowercase text, truncated (rolling-hash analog).
+    Shares functions.text.normalize_ws with exact_dedup/stream_dedup so
+    every fingerprint-keyed operator agrees on duplicate identity."""
+    from .text import normalize_ws
+
+    return F.substring(F.md5(normalize_ws(F.lower(text))), 1, length)

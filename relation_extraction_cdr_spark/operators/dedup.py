@@ -30,8 +30,14 @@ from pyspark.sql import DataFrame
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Keep one representative (min id) per identical normalized text."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    """Keep one representative (min id) per identical normalized text.
+
+    Normalization is the SHARED contract (functions.text.normalize_ws of
+    the lowercased text) — stream_dedup keys on the identical expression
+    so batch and streaming dedup agree on duplicate identity."""
+    from ..functions.text import normalize_ws
+
+    norm = normalize_ws(F.lower(F.col(text_col)))
     return (
         docs.withColumn("_fp", F.md5(norm))
         .groupBy("_fp")
@@ -99,27 +105,26 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4, sig_len: int = 8
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: docs sharing any band
-    hash. Returns (a, b) with a < b, distinct."""
-    # band id -> hash of the band's slice of the signature (rows-per-band
-    # derived from the signature length inside the expression)
+    hash. Returns (a, b) with a < b, distinct.
+
+    sig_len is the signature length (minhash k) and must be divisible by
+    bands — a fractional rows-per-band would silently skip signature
+    lanes, so the slice boundaries are computed in Python and validated
+    (same contract as simhash_neardup_pairs)."""
+    if sig_len % bands:
+        raise ValueError(f"sig_len={sig_len} not divisible by bands={bands}")
+    r = sig_len // bands
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
-                    F.concat_ws(
-                        "|",
-                        F.slice(
-                            F.col("sig"),
-                            (b * (F.size("sig") / bands) + 1).cast("int"),
-                            (F.size("sig") / bands).cast("int"),
-                        ),
-                    )
-                ),
+            F.array(
+                *[
+                    F.md5(F.concat_ws("|", F.slice(F.col("sig"), b * r + 1, r)))
+                    for b in range(bands)
+                ]
             )
         ).alias("band", "band_hash"),
     )

@@ -89,6 +89,12 @@ def featurize_py(
     # LabelEncoder: dense rank over lexicographically sorted classes
     classes, enc = np.unique(np.array(mask, dtype=object), return_inverse=True)
     lookup = {c: j for j, c in enumerate(classes)}
+    if chem_mesh not in lookup or dis_mesh not in lookup:
+        # pathological offsets (e.g. a find()-failure span from the
+        # reproduced inter_window quirk) can corrupt a marker so an
+        # entity never lands in the mask — drop the row like the other
+        # guards do, never KeyError inside the executor task
+        return None
     return dict(
         token_ids=ids,
         entity_mask=[int(x) for x in enc],

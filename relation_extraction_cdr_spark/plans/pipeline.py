@@ -42,14 +42,11 @@ def extracted_docs(pages: DataFrame, lang: str | None = None) -> DataFrame:
     """docs(url, text): html->text with lowercase normalization —
     byte-identical per url to the reference preprocessing
     (cdr_dataset.py:41-44)."""
-    docs = pages.select(
+    if lang is not None:
+        pages = pages.where(F.col("lang") == lang)
+    return pages.select(
         "url", extract_text(F.col("html"), F.col("text")).alias("text")
     )
-    if lang is not None:
-        docs = pages.where(F.col("lang") == lang).select(
-            "url", extract_text(F.col("html"), F.col("text")).alias("text")
-        )
-    return docs
 
 
 def score_candidates(

@@ -438,9 +438,17 @@ def q15(spark, sf_dir):
         F.when(F.col("event_type") == "signup", F.col("ts")).alias("signup_ts"),
         F.col("event_type"),
     )
+    # signups sort BEFORE other events at equal ts (isNull false < true):
+    # the oracle's s.ts <= e.ts includes a same-timestamp signup, so the
+    # running window must see it before the error row — ordering by
+    # event_id alone would exclude a same-ts signup with a higher id
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .orderBy(
+            F.col("ts").asc(),
+            F.col("signup_ts").isNull().asc(),
+            F.col("event_id").asc(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     with_last = tagged.withColumn("last_signup", F.last("signup_ts", ignorenulls=True).over(w))
@@ -894,7 +902,13 @@ _HELPER_MEMO: dict = {}
 
 
 def _memo(spark, key, build):
-    full_key = (spark.sparkContext.applicationId, key)
+    app = spark.sparkContext.applicationId
+    # evict entries from stopped applications: a long-lived process that
+    # cycles SparkSessions would otherwise accumulate dead-JVM
+    # DataFrame references per application id forever
+    for stale in [k for k in _HELPER_MEMO if k[0] != app]:
+        del _HELPER_MEMO[stale]
+    full_key = (app, key)
     if full_key not in _HELPER_MEMO:
         _HELPER_MEMO[full_key] = build()
     return _HELPER_MEMO[full_key]

@@ -182,6 +182,11 @@ def fused_score_docs(
         for pdf in batches:
             feat_rows = []
             for r in pdf.itertuples(index=False):
+                # poison-row guard: extract_text yields NULL for pages
+                # whose html strips to empty and text is NULL — skip,
+                # never crash the stage (no mentions => no pairs anyway)
+                if r.text is None or not r.text:
+                    continue
                 if gazetteer is not None:
                     inv: dict[str, dict] = {}
                     for m in detect_mentions_py(r.text, gazetteer, max_term_words):

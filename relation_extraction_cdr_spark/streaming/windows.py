@@ -165,7 +165,9 @@ def stream_dedup(
     state never ages out.  Works identically on a batch frame (the
     watermark is a no-op there), which is how the test oracles it.
     """
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    from ..functions.text import normalize_ws
+
+    norm = normalize_ws(F.lower(F.col(text_col)))
     fp = pages.withColumn("_fp", F.md5(norm)).withWatermark(ts_col, watermark)
     if pages.isStreaming:
         deduped = fp.dropDuplicatesWithinWatermark(["_fp"])

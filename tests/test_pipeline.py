@@ -112,3 +112,25 @@ def test_pipeline_survives_poison_rows(spark, mesh):
     # healthy-row triples unchanged; row 4 may legitimately add the
     # (aspirin, headache) pair it mentions
     assert baseline <= got
+
+
+def test_pipeline_default_path_survives_null_text(spark, mesh):
+    """The DEFAULT score_candidates path (no salting) must also survive
+    null/empty text: the salted path's heavy/light split filters happen
+    to drop NULL rows as a side effect, which previously masked an
+    unguarded text.split() crash in the fused kernel."""
+    from relation_extraction_cdr_spark.plans.pipeline import (
+        materialize_triples,
+        score_candidates,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("https://p/null", None, None),
+            ("https://p/empty", b"<html><body><p></p></body></html>", ""),
+            ("https://p/ok", None, "aspirin induced severe headache in rats."),
+        ],
+        "url string, html binary, text string",
+    ).withColumn("warc_ts", F.current_timestamp()).withColumn("lang", F.lit("en"))
+    triples = materialize_triples(score_candidates(pages, mesh))
+    triples.collect()  # must not raise
