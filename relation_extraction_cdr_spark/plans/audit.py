@@ -172,6 +172,15 @@ EXPECTATIONS: dict[str, dict[str, tuple[str, int]]] = {
     # jaccard near-dup must be driven by the shingle equi-join, never a
     # doc x doc product
     "q24_jaccard_neardup": {"cartesian_products": ("==", 0)},
+    # IVF: the 16-row centroid table must broadcast (nested-loop against
+    # a broadcast is the intended shape); the corpus never shuffle-joins
+    "q41_ivf_topk": {"sort_merge_joins": ("==", 0)},
+    # connected components returns a checkpoint-backed frame: the final
+    # plan is one groupBy over stored partitions, not the iterative
+    # history (lineage-truncation regression guard)
+    "q42_neardup_clusters": {"exchanges": ("<=", 2), "sort_merge_joins": ("==", 0)},
+    # quantiles: one wide agg with map-side partials
+    "q45_length_quantiles": {"exchanges": ("<=", 1), "partial_aggs": (">=", 1)},
 }
 
 _OPS = {
