@@ -1477,3 +1477,86 @@ def q45(spark, sf_dir):
         F.round(F.percentile("n_chars", 0.9), 4).alias("p90"),
         F.round(F.percentile("n_chars", 0.99), 4).alias("p99"),
     )
+
+
+@register(
+    "q46_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))
+                    * CAST(1 - l_discount AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q46(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table star join with a same-nation theta
+    condition folded into the customer equi-join — dims broadcast, the
+    two fact tables meet in ONE shuffled equi-join on the order key, and
+    the region filter prunes before any join."""
+    t = _t(spark, sf_dir, "lineitem", "orders", "supplier", "customer", "nation", "region")
+    asia_nations = (
+        t["nation"]
+        .join(F.broadcast(t["region"].where(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    df = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t["customer"]),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return df.groupBy("n_name").agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+@register(
+    "q47_large_orders",
+    """
+    SELECT o_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+           CAST(total_qty AS DOUBLE) AS total_qty
+    FROM orders JOIN (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(38,4))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(38,4))) > 150
+    ) big ON o_orderkey = big.l_orderkey
+    """,
+)
+def q47(spark, sf_dir):
+    """TPC-H Q18 shape: aggregate-then-semi-join — the HAVING subquery
+    reduces lineitem to qualifying order keys BEFORE touching orders, so
+    the join probe side is tiny (classic pre-aggregation pushdown a user
+    would otherwise write as a correlated subquery)."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
