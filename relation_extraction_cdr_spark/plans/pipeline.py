@@ -75,6 +75,19 @@ def score_candidates(
     """
     docs = extracted_docs(pages)
     gaz = gazetteer(mesh_tree, type_col=mesh_type_col)
+    if gaz.isEmpty():
+        # an empty gazetteer makes the whole run a silently-successful
+        # no-op (zero mentions -> zero triples) — at corpus scale that is
+        # an expensive nothing.  The classic cause: a fixture-shaped mesh
+        # table (explicit type column, synthetic tree numbers) read with
+        # mesh_type_col=None, whose branch-letter type derivation yields
+        # NULL for every row.
+        raise ValueError(
+            "empty gazetteer: no mesh rows produced a Chemical/Disease "
+            f"type (mesh_type_col={mesh_type_col!r}). Pass "
+            "mesh_type_col='type' for fixture-shaped mesh tables, or "
+            "None for the real 2017 MeSH tree (D*/C* branch letters)."
+        )
 
     if fused:
         # doc-level fused path: the document text crosses the shuffle and

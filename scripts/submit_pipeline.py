@@ -31,6 +31,12 @@ def main() -> None:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--run-id", default="run1")
     ap.add_argument("--buckets", type=int, default=512)
+    ap.add_argument(
+        "--mesh-type-col", default=None,
+        help="mesh column holding Chemical/Disease types (fixture tables "
+             "use 'type'; omit for the real 2017 MeSH tree, whose types "
+             "derive from the D*/C* tree branch)",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("cdr-triple-factory").getOrCreate()
@@ -47,7 +53,7 @@ def main() -> None:
     scored = run_resumable(
         spark, pages, mesh, args.out, args.checkpoint,
         run_id=args.run_id, n_buckets=args.buckets,
-        mesh_type_col=None,  # real MeSH: type derived from tree branch
+        mesh_type_col=args.mesh_type_col,
     )
     from relation_extraction_cdr_spark.plans.pipeline import adjacency, materialize_triples
 
