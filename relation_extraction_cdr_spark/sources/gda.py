@@ -60,3 +60,31 @@ def read_gda_labels(spark: SparkSession, path: str) -> DataFrame:
             F.col("label").cast("int").alias("label"),
         )
     )
+
+
+def gda_to_cdr(
+    abstracts: DataFrame, annotations: DataFrame, labels: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Assemble the CDR-shaped (docs, mentions, relations) frames from
+    the GDA scans — the distributed analog of
+    convert_gda_to_cdr.write_cdr_file (:102-113); feed the result to
+    sources.pubtator.write_pubtator for the file form, or straight into
+    the candidate/labeling operators (the gda_trainer workload, which
+    runs the CDR pipeline with Gene playing the chemical role).
+
+    Reference quirk reproduced faithfully: write_cdr_file emits EVERY
+    label row as a CID relation line, ignoring the label column's value
+    (:112-113) — so a (gene, disease, label=0) row still becomes a CID
+    line in the converted file.
+    """
+    docs = abstracts.select("doc_id", "text")
+    mentions = annotations.select(
+        "doc_id", "start", "end", "mention_text", "type",
+        F.col("entity_id").alias("mesh_id"),
+    )
+    relations = labels.select(
+        "doc_id",
+        F.col("gene_id").alias("chem_mesh"),
+        F.col("disease_id").alias("dis_mesh"),
+    )
+    return docs, mentions, relations
