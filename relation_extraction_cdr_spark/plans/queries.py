@@ -1560,3 +1560,32 @@ def q47(spark, sf_dir):
             F.col("total_qty").cast("double").alias("total_qty"),
         )
     )
+
+
+@register("q48_ner_features")  # rows-only: WordPiece token ids are not
+# ANSI-SQL-expressible (byte-level token/label parity is pytest-verified
+# in test_ner; this surfaces the §3.2 path in the driver check)
+def q48(spark, sf_dir):
+    """NER-path featurization (reference train_ner, SURVEY §3.2):
+    whole-doc marker insertion + 512-truncation + one labeled entry per
+    mention-start token, aggregated to stable per-doc counts."""
+    from ..operators.ner import docs_with_mentions, ner_features
+
+    m = _doc_mentions(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")["documents"].select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lower(F.col("text")).alias("text"),
+    )
+    feats = ner_features(
+        docs_with_mentions(
+            docs,
+            m.select(F.col("url").cast("string").alias("url"), "start", "end", "type"),
+        )
+    )
+    return feats.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.size("token_ids").alias("n_tokens"),
+        F.size("entity_token_idx").alias("n_marked"),
+        F.size(F.filter("labels", lambda x: x == F.lit(0))).alias("n_chem"),
+        F.size(F.filter("labels", lambda x: x == F.lit(1))).alias("n_dis"),
+    )
