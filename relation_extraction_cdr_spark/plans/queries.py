@@ -1589,3 +1589,82 @@ def q48(spark, sf_dir):
         F.size(F.filter("labels", lambda x: x == F.lit(0))).alias("n_chem"),
         F.size(F.filter("labels", lambda x: x == F.lit(1))).alias("n_dis"),
     )
+
+
+@register(
+    "q49_event_gaps",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM (
+      SELECT user_id,
+             EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)) AS gap_us
+      FROM events)
+    WHERE gap_us > 3600000000
+    GROUP BY user_id
+    """,
+)
+def q49(spark, sf_dir):
+    """Lead/lag window breadth (beyond the reference's row_number-only
+    usage): per-user inter-event gaps over one hour — the idle-gap scan a
+    sessionizer is built from, as a plain windowed query."""
+    t = _t(spark, sf_dir, "events")
+    # microsecond-exact on BOTH engines: second-truncated arithmetic
+    # (unix_timestamp vs EPOCH) differs by one for sub-second offsets
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = t["events"].select(
+        "user_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(w))
+        ).alias("gap_us"),
+    )
+    return (
+        gaps.where(F.col("gap_us") > 3600 * 1_000_000)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+        )
+    )
+
+
+@register(
+    "q50_rollup_revenue",
+    """
+    SELECT COALESCE(r_name, 'ALL') AS r_name,
+           COALESCE(n_name, 'ALL') AS n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q50(spark, sf_dir):
+    """ROLLUP hierarchy aggregation (region -> nation -> grand total) —
+    grouping-sets capability the reference lacks entirely; subtotal rows
+    surface as COALESCE'd 'ALL' labels so the oracle hash is stable."""
+    t = _t(spark, sf_dir, "orders", "customer", "nation", "region")
+    df = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        df.rollup("r_name", "n_name")
+        .agg(
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            "revenue",
+            "n_orders",
+        )
+    )
