@@ -99,13 +99,24 @@ def stream_pages(
     checkpoint_dir: str,
     schema: str,
     trigger_once: bool = True,
+    dedup_watermark: str | None = None,
 ):
     """Structured Streaming variant: continuously arriving page files →
     triples, exactly-once via Spark's own checkpointing; the batch plan is
-    reused verbatim inside foreachBatch."""
+    reused verbatim inside foreachBatch.
+
+    ``dedup_watermark``: when set (e.g. "24 hours"), re-crawled/mirrored
+    pages whose text fingerprint was already seen inside the horizon are
+    dropped BEFORE extraction — streaming dedup must sit on the stream
+    itself (state store), not inside foreachBatch where each batch is an
+    isolated batch frame.
+    """
     from ..plans.pipeline import score_candidates
+    from .windows import stream_dedup
 
     stream = spark.readStream.schema(schema).parquet(input_dir)
+    if dedup_watermark:
+        stream = stream_dedup(stream, watermark=dedup_watermark)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         scored = score_candidates(batch_df, mesh_tree)

@@ -183,3 +183,32 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert got.count() == n_distinct
     # batch mode agrees on the number of survivors
     assert stream_dedup(feed).count() == n_distinct
+
+
+def test_stream_pages_with_dedup(spark, mesh, tmp_path):
+    """Composed streaming feed: dedup-on-ingest drops the mirrored
+    re-crawl before extraction, so scored output covers each distinct
+    page exactly once."""
+    from relation_extraction_cdr_spark.streaming.incremental import stream_pages
+
+    pages, _, _ = datagen.gen_fixture_dfs(spark, 12)
+    recrawl = pages.withColumn(
+        "url", F.concat(F.col("url"), F.lit("?mirror=1"))
+    ).withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 HOUR"))
+    feed = pages.unionByName(recrawl)
+    in_dir = str(tmp_path / "in"); out_dir = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    feed.write.mode("overwrite").parquet(in_dir)
+
+    q = stream_pages(
+        spark, in_dir, mesh, out_dir, cp,
+        schema=datagen.PAGES_SCHEMA, trigger_once=True,
+        dedup_watermark="24 hours",
+    )
+    q.awaitTermination(120)
+    scored = spark.read.parquet(out_dir)
+    # one survivor per distinct text: no url appears in both original and
+    # mirrored form
+    urls = {r["url"].split("?")[0] for r in scored.select("url").distinct().collect()}
+    n_scored_pages = scored.select("url").distinct().count()
+    assert n_scored_pages == len(urls)
