@@ -192,7 +192,13 @@ _OPS = {
 
 def audit_query(name: str, df: DataFrame) -> list[str]:
     """Return a list of human-readable violations (empty = plan is good)."""
-    facts = plan_facts(df)
+    return audit_facts(name, plan_facts(df))
+
+
+def audit_facts(name: str, facts: PlanFacts) -> list[str]:
+    """Violations for precomputed facts — callers that also display the
+    facts (scripts/explain_audit.py) pass them here so the physical plan
+    is compiled once per query, not twice."""
     violations: list[str] = []
     if facts.cartesian_products:
         violations.append(f"{name}: {facts.cartesian_products} CartesianProduct")

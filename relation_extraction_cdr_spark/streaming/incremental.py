@@ -39,9 +39,16 @@ def bucketed(pages: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def completed_buckets(spark: SparkSession, checkpoint_dir: str, run_id: str, stage: str) -> set[int]:
-    if not os.path.exists(checkpoint_dir):
+    """Bucket ids with committed lineage rows.  The not-yet-created case
+    is detected by attempting the read, NOT os.path.exists — the lineage
+    URI is usually remote (hdfs://, s3a://) where a driver-local stat is
+    always False and would silently disable resume on a cluster."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        cp = spark.read.parquet(checkpoint_dir)
+    except AnalysisException:
         return set()
-    cp = spark.read.parquet(checkpoint_dir)
     rows = (
         cp.where((F.col("run_id") == run_id) & (F.col("stage") == stage))
         .select("partition_id")

@@ -16,7 +16,7 @@ sys.path.insert(0, str(REPO))
 
 from relation_extraction_cdr_spark.plans.audit import (  # noqa: E402
     EXPECTATIONS,
-    audit_query,
+    audit_facts,
     plan_facts,
 )
 from relation_extraction_cdr_spark.plans.queries import QUERIES  # noqa: E402
@@ -43,7 +43,7 @@ def main() -> None:
     for name, fn in QUERIES.items():
         df = fn(spark, sf_dir)
         f = plan_facts(df)
-        v = audit_query(name, df)
+        v = audit_facts(name, f)
         failures.extend(v)
         status = ("FAIL" if v else "ok") if name in EXPECTATIONS else "—"
         lines.append(

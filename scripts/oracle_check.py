@@ -19,10 +19,13 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def value_hash(rows: list[tuple], cols: list[str]) -> str:
+    # rows canonicalize through json (one string per row): naive
+    # '|'/'\n' joins would let free-text fields containing the separator
+    # alias distinct result sets to the same hash
+    import json
+
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    canon = sorted(
-        "|".join(_fmt(r[i]) for i in order) for r in rows
-    )
+    canon = sorted(json.dumps([_fmt(r[i]) for i in order]) for r in rows)
     return hashlib.md5("\n".join(canon).encode()).hexdigest()
 
 
@@ -38,6 +41,18 @@ def _fmt(v) -> str:
     return str(v)
 
 
+def make_duck_con(sf_dir: str):
+    """DuckDB connection with the standard table views registered —
+    shared by this CLI and tests/test_queries_oracle.py so both gates
+    always see the same table set."""
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -46,14 +61,16 @@ def main() -> int:
     from relation_extraction_cdr_spark.plans.queries import ORACLES, QUERIES
     from relation_extraction_cdr_spark.session import spark_session
 
+    unknown = only - set(QUERIES)
+    if unknown:
+        # a typo'd name silently checking nothing would print ALL OK
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
+
     spark = spark_session("oracle_check")
     spark.sparkContext.setLogLevel("ERROR")
 
-    con = duckdb.connect()
-    for t in TABLES:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    con = make_duck_con(sf_dir)
 
     failures = 0
     for name, fn in QUERIES.items():

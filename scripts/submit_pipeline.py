@@ -26,6 +26,11 @@ from pyspark.sql import SparkSession
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", required=True, help="pages table URI (parquet/iceberg)")
+    ap.add_argument(
+        "--pages-format", choices=["parquet", "iceberg"], default="parquet",
+        help="explicit source format (a URI heuristic would misroute "
+             "s3a://gs://abfss:// schemes or dotted relative paths)",
+    )
     ap.add_argument("--mesh", required=True, help="MeSH tree TSV URI")
     ap.add_argument("--out", required=True)
     ap.add_argument("--checkpoint", required=True)
@@ -46,7 +51,7 @@ def main() -> None:
 
     pages = (
         spark.read.format("iceberg").load(args.pages)
-        if args.pages.count(".") and not args.pages.startswith(("s3://", "hdfs://", "file:", "/"))
+        if args.pages_format == "iceberg"
         else spark.read.parquet(args.pages)
     )
     mesh = read_mesh_tree(spark, args.mesh)

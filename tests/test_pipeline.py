@@ -109,9 +109,10 @@ def test_pipeline_survives_poison_rows(spark, mesh):
             score_candidates(mixed, mesh, salt_partitions=8)
         ).collect()
     }
-    # healthy-row triples unchanged; row 4 may legitimately add the
-    # (aspirin, headache) pair it mentions
-    assert baseline <= got
+    # healthy-row triples unchanged AND nothing new: none of the poison
+    # surfaces ('aspirin'/'headache' included) exist in the gazetteer,
+    # so the result must be exactly the baseline
+    assert got == baseline, f"poison rows perturbed the triples: {got ^ baseline}"
 
 
 def test_pipeline_default_path_survives_null_text(spark, mesh):

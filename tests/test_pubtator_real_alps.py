@@ -85,12 +85,16 @@ def test_real_alps_parity(spark, fname):
         for r in PT.parse_mentions(blocks).collect()
     }
     assert got_ments == set(exp_ments)
+    # cardinality too: a reader that drops or double-emits a repeated
+    # annotation row would still pass the set comparison
+    assert PT.parse_mentions(blocks).count() == len(set(exp_ments))
 
     got_rels = {
         (r["doc_id"], r["chem_mesh"], r["dis_mesh"])
         for r in PT.parse_relations(blocks, PT.parse_mentions(blocks)).collect()
     }
     assert got_rels == set(exp_rels)
+    assert PT.parse_relations(blocks, PT.parse_mentions(blocks)).count() == len(set(exp_rels))
     # sanity: the real corpus is non-trivial (55 docs in the test split,
     # ~170 in train)
     assert len(exp_docs) >= 50 and len(exp_ments) >= 150 and len(exp_rels) >= 50
