@@ -373,3 +373,96 @@ def simhash_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def boilerplate_sentences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_frac: float = 0.05,
+) -> DataFrame:
+    """Sentences occurring in more than ``max_doc_frac`` of documents —
+    the repeated-boilerplate inventory (nav chrome, disclaimers, template
+    text) a crawl-curation pass strips before training.
+
+    Naive split on '. ' so the rule is ANSI-SQL-reproducible; counting is
+    per DISTINCT doc.  Returns (sentence, n_docs)."""
+    sents = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\. ")).alias("sentence"),
+    ).where(F.length("sentence") > 0)
+    n_docs = docs.select(id_col).distinct().count()
+    return (
+        sents.groupBy("sentence")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") > int(n_docs * max_doc_frac))
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_frac: float = 0.05,
+) -> DataFrame:
+    """Remove boilerplate sentences from every document; returns
+    (id, text, n_kept, n_dropped) with the surviving sentences rejoined.
+
+    The boilerplate set is an aggregation over the corpus itself (a few
+    thousand distinct repeated sentences even at crawl scale) — broadcast
+    back against the exploded sentence stream, dropped via left_anti, and
+    documents reassembled order-preserving via the sentence position."""
+    bp = boilerplate_sentences(docs, id_col, text_col, max_doc_frac)
+    sents = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\. ")).alias(
+            "pos", "sentence"
+        ),
+    ).where(F.length("sentence") > 0)
+    kept = sents.join(F.broadcast(bp.select("sentence")), "sentence", "left_anti")
+    dropped_counts = sents.join(
+        F.broadcast(bp.select("sentence")), "sentence", "left_semi"
+    ).groupBy(id_col).agg(F.count("*").alias("n_dropped"))
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.struct("pos", "sentence"))).sentence,
+                ". ",
+            ).alias(text_col),
+            F.count("*").alias("n_kept"),
+        )
+        .join(dropped_counts, id_col, "left")
+        .fillna({"n_dropped": 0})
+    )
+    return rebuilt
+
+
+def contaminated_docs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    n: int = 5,
+) -> DataFrame:
+    """Decontamination scan: documents sharing any word n-gram with a
+    benchmark/eval text must be flagged (and typically dropped) before
+    training.  Returns (doc_id, bench_id, n_shared) per contaminated
+    pair.
+
+    The benchmark side is tiny (eval sets are thousands of rows) — its
+    shingle set broadcasts, so the corpus-side scan is one narrow pass +
+    an equi-join on the shingle; never a doc x benchmark product."""
+    doc_sh = word_shingles(docs, id_col, text_col, n)
+    bench_sh = word_shingles(
+        benchmark.select(F.col(bench_id_col).alias("_bid"), F.col(text_col)),
+        "_bid",
+        text_col,
+        n,
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(F.col(id_col), F.col("_bid").alias(bench_id_col))
+        .agg(F.count("*").alias("n_shared"))
+    )

@@ -1668,3 +1668,78 @@ def q50(spark, sf_dir):
             "n_orders",
         )
     )
+
+
+@register(
+    "q51_boilerplate_strip",
+    """
+    WITH docs_l AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT(TRIM(LOWER(text)), '. '),
+                         s -> LEN(s) > 0) AS sl
+      FROM documents),
+    n AS (SELECT COUNT(*) AS nd FROM documents),
+    bp AS (
+      SELECT sentence FROM (
+        SELECT doc_id, UNNEST(sl) AS sentence FROM docs_l)
+      GROUP BY sentence
+      HAVING COUNT(DISTINCT doc_id) > (SELECT CAST(nd * 0.05 AS INT) FROM n)),
+    bplist AS (SELECT COALESCE(LIST(sentence), []) AS bl FROM bp),
+    rebuilt AS (
+      SELECT doc_id,
+             LIST_FILTER(sl, s -> NOT LIST_CONTAINS(bl, s)) AS keptl,
+             LEN(sl) AS n_all
+      FROM docs_l CROSS JOIN bplist)
+    SELECT doc_id, ARRAY_TO_STRING(keptl, '. ') AS text,
+           CAST(LEN(keptl) AS BIGINT) AS n_kept,
+           CAST(n_all - LEN(keptl) AS BIGINT) AS n_dropped
+    FROM rebuilt WHERE LEN(keptl) > 0
+    """,
+)
+def q51(spark, sf_dir):
+    """Sentence-level boilerplate removal (curation): sentences repeated
+    across more than 5% of documents (template chrome, disclaimers) are
+    stripped corpus-wide and documents reassembled order-preserving —
+    the CCNet-style repeated-segment pass a crawl pipeline runs before
+    training.  Fully oracled including the rebuilt text."""
+    t = _t(spark, sf_dir, "documents")
+    out = DD.strip_boilerplate(t["documents"], max_doc_frac=0.05)
+    return out.select(
+        "doc_id", "text",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+    )
+
+
+@register(
+    "q52_decontaminate",
+    """
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS t
+      FROM documents),
+    dsh AS (
+      SELECT doc_id,
+             UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, LEN(t) - 4),
+                    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+                         t[i+4] || ' ' || t[i+5]))) AS shingle
+      FROM toks WHERE LEN(t) >= 5),
+    bsh AS (SELECT doc_id AS bench_id, shingle FROM dsh WHERE doc_id < 3)
+    SELECT d.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM dsh d JOIN bsh b USING (shingle)
+    GROUP BY d.doc_id, b.bench_id
+    """,
+)
+def q52(spark, sf_dir):
+    """Benchmark decontamination scan (curation): flag every document
+    sharing a word 5-gram with an eval-set text (here: docs 0-2 playing
+    the benchmark).  The tiny benchmark shingle set broadcasts; the
+    corpus side is one narrow pass + an equi-join — never a doc x
+    benchmark product."""
+    t = _t(spark, sf_dir, "documents")
+    docs = t["documents"]
+    bench = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return DD.contaminated_docs(docs, bench, n=5).select(
+        "doc_id", "bench_id", F.col("n_shared").cast("long").alias("n_shared")
+    )

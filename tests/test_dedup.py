@@ -136,3 +136,34 @@ def test_connected_components_raises_on_nonconvergence(spark):
     # and with enough rounds the same chain converges to one component
     labels = {r["cluster_id"] for r in DD.connected_components(df, max_iter=10).collect()}
     assert labels == {0}
+
+
+def test_strip_boilerplate_semantics(spark):
+    """The repeated disclaimer is stripped from every doc, unique content
+    survives order-preserving, and an all-boilerplate doc drops out."""
+    disclaimer = "all rights reserved"
+    rows = [(i, f"unique fact {i}. {disclaimer}. more text {i}") for i in range(20)]
+    rows.append((99, disclaimer))  # fully-boilerplate doc
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in DD.strip_boilerplate(docs, max_doc_frac=0.5).collect()}
+    assert 99 not in out  # nothing left
+    for i in range(20):
+        r = out[i]
+        assert r["text"] == f"unique fact {i}. more text {i}"
+        assert r["n_kept"] == 2 and r["n_dropped"] == 1
+
+
+def test_contaminated_docs_flags_overlap(spark):
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "bench_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "completely unrelated text about spark plans and shuffles here"),
+            (2, "he saw the quick brown fox jumps over a fence yesterday"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["bench_id"]) for r in DD.contaminated_docs(docs, bench, n=5).collect()}
+    assert got == {(2, 0)}
