@@ -1743,3 +1743,41 @@ def q52(spark, sf_dir):
     return DD.contaminated_docs(docs, bench, n=5).select(
         "doc_id", "bench_id", F.col("n_shared").cast("long").alias("n_shared")
     )
+
+
+@register(
+    "q53_time_rollup",
+    """
+    SELECT COALESCE(STRFTIME(day, '%Y-%m-%d'), 'ALL') AS day,
+           COALESCE(CAST(hr AS VARCHAR), 'ALL') AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))), 4) AS DOUBLE) AS total_value
+    FROM (SELECT CAST(ts AS DATE) AS day, EXTRACT(hour FROM ts) AS hr, value
+          FROM events)
+    GROUP BY ROLLUP (day, hr)
+    """,
+)
+def q53(spark, sf_dir):
+    """Hypertable-style time rollup: hour -> day -> grand total in one
+    grouping-sets pass (the multi-granularity summary a time-partitioned
+    event table serves from a single scan); decimal-routed sums keep the
+    float hash engine-stable."""
+    t = _t(spark, sf_dir, "events")
+    ev = t["events"].select(
+        F.col("ts").cast("date").alias("day"),
+        F.hour("ts").alias("hr"),
+        F.round("value", 6).cast("decimal(38,6)").alias("value"),
+    )
+    return (
+        ev.rollup("day", "hr")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).cast("double").alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.date_format("day", "yyyy-MM-dd"), F.lit("ALL")).alias("day"),
+            F.coalesce(F.col("hr").cast("string"), F.lit("ALL")).alias("hr"),
+            "n",
+            "total_value",
+        )
+    )
