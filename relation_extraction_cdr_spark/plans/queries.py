@@ -1781,3 +1781,73 @@ def q53(spark, sf_dir):
             "total_value",
         )
     )
+
+
+_BLOOM_M = 65536  # ~10 bits/key for the qualifying-order set -> ~1% fp
+
+
+def _bloom_lanes_sql(expr: str, k: int = 3, m: int = _BLOOM_M) -> list[str]:
+    from ..operators import sketch as SK
+
+    return [SK._lane_sql(expr, i, m) for i in range(k)]
+
+
+def _q54_sql() -> str:
+    l0, l1, l2 = _bloom_lanes_sql("key")
+    f0, f1, f2 = _bloom_lanes_sql("l_orderkey")
+    return f"""
+    WITH qual AS (SELECT o_orderkey AS key FROM orders WHERE o_totalprice > 400000),
+    lanes AS (
+      SELECT {l0} AS p FROM qual
+      UNION ALL SELECT {l1} FROM qual
+      UNION ALL SELECT {l2} FROM qual),
+    words AS (SELECT CAST(p // 32 AS INT) AS wi,
+                     BIT_OR(CAST(1 AS BIGINT) << (p % 32)) AS word
+              FROM lanes GROUP BY 1),
+    li AS (SELECT l_orderkey, {f0} AS p0, {f1} AS p1, {f2} AS p2 FROM lineitem),
+    mem AS (
+      SELECT li.l_orderkey,
+             COALESCE(((w0.word >> (p0 % 32)) & 1) = 1, FALSE)
+             AND COALESCE(((w1.word >> (p1 % 32)) & 1) = 1, FALSE)
+             AND COALESCE(((w2.word >> (p2 % 32)) & 1) = 1, FALSE) AS pass
+      FROM li
+      LEFT JOIN words w0 ON w0.wi = CAST(p0 // 32 AS INT)
+      LEFT JOIN words w1 ON w1.wi = CAST(p1 // 32 AS INT)
+      LEFT JOIN words w2 ON w2.wi = CAST(p2 // 32 AS INT))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_fact,
+           CAST(SUM(CASE WHEN q.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS exact_match,
+           CAST(SUM(CASE WHEN m.pass THEN 1 ELSE 0 END) AS BIGINT) AS bloom_pass,
+           CAST(SUM(CASE WHEN m.pass AND q.key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS false_pos
+    FROM mem m LEFT JOIN qual q ON q.key = m.l_orderkey
+    """
+
+
+@register("q54_bloom_prefilter", _q54_sql())
+def q54(spark, sf_dir):
+    """Bloom-sketch join pre-filter: fact rows are tested against a
+    broadcast md5-Bloom built from the qualifying-order keys BEFORE any
+    exchange — the rows that cannot match never shuffle.  Reports
+    (n_fact, exact_match, bloom_pass, false_pos); no false negatives by
+    construction, and because bit positions are md5-derived the whole
+    sketch is value-identical in DuckDB (its oracle rebuilds the filter
+    relationally with BIT_OR over the same lanes)."""
+    from ..operators import sketch as SK
+
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    qual = t["orders"].where(F.col("o_totalprice") > 400000).select("o_orderkey")
+    words = SK.build_bloom((r["o_orderkey"] for r in qual.collect()), m=_BLOOM_M)
+    li = t["lineitem"]
+    passed = SK.bloom_might_contain(F.col("l_orderkey"), words, m=_BLOOM_M)
+    flagged = li.join(
+        F.broadcast(qual.withColumn("_hit", F.lit(1))),
+        li["l_orderkey"] == qual["o_orderkey"],
+        "left",
+    )
+    return flagged.agg(
+        F.count("*").alias("n_fact"),
+        F.sum(F.when(F.col("_hit") == 1, 1).otherwise(0)).cast("long").alias("exact_match"),
+        F.sum(passed.cast("int")).cast("long").alias("bloom_pass"),
+        F.sum(F.when(passed & F.col("_hit").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("false_pos"),
+    )

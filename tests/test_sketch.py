@@ -1,0 +1,38 @@
+"""Bloom join-prefilter sketch: no false negatives ever; false-positive
+rate bounded when sized properly; Spark membership agrees with the
+plain-Python build."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from relation_extraction_cdr_spark.operators import sketch as SK
+
+
+def test_no_false_negatives_and_bounded_fp(spark):
+    keys = list(range(0, 2000, 2))  # evens are members
+    words = SK.build_bloom(keys, m=16384, k=3)
+    df = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    got = {
+        r["k"]: r["pass"]
+        for r in df.select(
+            "k", SK.bloom_might_contain(F.col("k"), words, m=16384, k=3).alias("pass")
+        ).collect()
+    }
+    # every member passes (no false negatives)
+    assert all(got[k] for k in keys)
+    # odd keys: small false-positive rate (1000 keys in 16384 bits)
+    fp = sum(1 for k in range(1, 2000, 2) if got[k])
+    assert fp < 50, fp
+
+
+def test_python_and_spark_lanes_agree(spark):
+    words = SK.build_bloom(["7", "42"], m=4096, k=3)
+    df = spark.createDataFrame([("7",), ("42",), ("43",)], "k string")
+    got = {
+        r["k"]: r["pass"]
+        for r in df.select(
+            "k", SK.bloom_might_contain(F.col("k"), words, m=4096, k=3).alias("pass")
+        ).collect()
+    }
+    assert got["7"] and got["42"]
