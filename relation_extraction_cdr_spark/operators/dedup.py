@@ -406,23 +406,37 @@ def strip_boilerplate(
     max_doc_frac: float = 0.05,
 ) -> DataFrame:
     """Remove boilerplate sentences from every document; returns
-    (id, text, n_kept, n_dropped) with the surviving sentences rejoined.
+    (id, text, n_kept, n_dropped) with the surviving ORIGINAL-cased
+    sentences rejoined (lowercasing applies only to the comparison key —
+    a curation pass must not rewrite the corpus it is cleaning).
 
     The boilerplate set is an aggregation over the corpus itself (a few
     thousand distinct repeated sentences even at crawl scale) — broadcast
     back against the exploded sentence stream, dropped via left_anti, and
-    documents reassembled order-preserving via the sentence position."""
+    documents reassembled order-preserving via the sentence position.
+    n_dropped derives from per-doc totals (n_all - n_kept) so the
+    exploded stream is joined once, not twice."""
     bp = boilerplate_sentences(docs, id_col, text_col, max_doc_frac)
     sents = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\. ")).alias(
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\. ")).alias(
             "pos", "sentence"
         ),
     ).where(F.length("sentence") > 0)
-    kept = sents.join(F.broadcast(bp.select("sentence")), "sentence", "left_anti")
-    dropped_counts = sents.join(
-        F.broadcast(bp.select("sentence")), "sentence", "left_semi"
-    ).groupBy(id_col).agg(F.count("*").alias("n_dropped"))
+    kept = sents.join(
+        F.broadcast(bp.select("sentence").withColumnRenamed("sentence", "_bpkey")),
+        F.lower(sents.sentence) == F.col("_bpkey"),
+        "left_anti",
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col(text_col)), r"\. "),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("_n_all"),
+    )
     rebuilt = (
         kept.groupBy(id_col)
         .agg(
@@ -432,8 +446,9 @@ def strip_boilerplate(
             ).alias(text_col),
             F.count("*").alias("n_kept"),
         )
-        .join(dropped_counts, id_col, "left")
-        .fillna({"n_dropped": 0})
+        .join(totals, id_col)
+        .withColumn("n_dropped", F.col("_n_all") - F.col("n_kept"))
+        .drop("_n_all")
     )
     return rebuilt
 

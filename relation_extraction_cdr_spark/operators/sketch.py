@@ -27,6 +27,14 @@ DEFAULT_M = 4096  # bits; 128 32-bit words
 DEFAULT_K = 3
 
 
+def _check_m(m: int) -> None:
+    """m must pack into whole 32-bit words AND fit the 16-bit lanes —
+    bits above 65535 can never be set, so a larger m silently stops
+    improving the fp rate; fail loudly instead."""
+    if m % 32 or m > (1 << 16) or m <= 0:
+        raise ValueError(f"m={m}: need 0 < m <= 65536 and m % 32 == 0")
+
+
 def _positions(key: str, m: int, k: int) -> list[int]:
     return [
         int(hashlib.md5(f"{i}|{key}".encode()).hexdigest()[:4], 16) % m
@@ -42,6 +50,7 @@ def build_bloom(keys: Iterable, m: int = DEFAULT_M, k: int = DEFAULT_K) -> list[
     BIT_OR aggregate over lane positions instead (exactly what the SQL
     oracle rendering does), then broadcast the 128-word result.
     """
+    _check_m(m)
     words = [0] * (m // 32)
     for key in keys:
         for p in _positions(str(key), m, k):
@@ -56,7 +65,14 @@ def _lane_expr(col, i: int, m: int):
 
 
 def bloom_might_contain(col, words: list[int], m: int = DEFAULT_M, k: int = DEFAULT_K):
-    """Boolean column: all k lanes of ``col`` are set in the filter."""
+    """Boolean column: all k lanes of ``col`` are set in the filter.
+
+    For hot paths prefer ``with_bloom_pass`` — it binds the lane
+    positions to projection columns so each md5 is computed once per
+    row; inlined here, word-index and shift both re-derive the lane."""
+    _check_m(m)
+    if len(words) != m // 32:
+        raise ValueError(f"words has {len(words)} entries, want {m // 32}")
     arr = F.array(*[F.lit(w).cast("long") for w in words])
     cond = F.lit(True)
     for i in range(k):
@@ -91,3 +107,32 @@ def bloom_might_contain_sql(
         p = _lane_sql(expr, i, m)
         conds.append(f"(({wl}[CAST({p} // 32 AS INT) + 1] >> ({p} % 32)) & 1) = 1")
     return "(" + " AND ".join(conds) + ")"
+
+
+def with_bloom_pass(
+    df,
+    key_col: str,
+    words: list[int],
+    m: int = DEFAULT_M,
+    k: int = DEFAULT_K,
+    out_col: str = "bloom_pass",
+):
+    """df + boolean ``out_col``: the hot-path form.  Lane positions are
+    bound to projection columns first (the Catalyst bind-before-reuse
+    rule), so the k md5 chains run once per row even though each lane
+    feeds both the word index and the shift amount."""
+    _check_m(m)
+    if len(words) != m // 32:
+        raise ValueError(f"words has {len(words)} entries, want {m // 32}")
+    lane_cols = [f"_bp{i}" for i in range(k)]
+    bound = df.select(
+        "*", *[_lane_expr(F.col(key_col), i, m).alias(c) for i, c in enumerate(lane_cols)]
+    )
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    cond = F.lit(True)
+    for c in lane_cols:
+        p = F.col(c)
+        word = F.element_at(arr, F.floor(p / 32).cast("int") + 1)
+        shifted = F.call_function("shiftright", word, (p % 32).cast("int"))
+        cond = cond & (shifted.bitwiseAND(F.lit(1)) == 1)
+    return bound.withColumn(out_col, cond).drop(*lane_cols)

@@ -1675,19 +1675,21 @@ def q50(spark, sf_dir):
     """
     WITH docs_l AS (
       SELECT doc_id,
-             LIST_FILTER(STRING_SPLIT(TRIM(LOWER(text)), '. '),
+             LIST_FILTER(STRING_SPLIT(TRIM(text), '. '),
                          s -> LEN(s) > 0) AS sl
       FROM documents),
     n AS (SELECT COUNT(*) AS nd FROM documents),
     bp AS (
-      SELECT sentence FROM (
-        SELECT doc_id, UNNEST(sl) AS sentence FROM docs_l)
-      GROUP BY sentence
-      HAVING COUNT(DISTINCT doc_id) > (SELECT CAST(nd * 0.05 AS INT) FROM n)),
-    bplist AS (SELECT COALESCE(LIST(sentence), []) AS bl FROM bp),
+      SELECT key FROM (
+        SELECT doc_id, LOWER(UNNEST(sl)) AS key FROM docs_l)
+      GROUP BY key
+      -- integer n > x equals n > floor(x): direct comparison avoids the
+      -- DuckDB CAST-rounds vs Python-int-truncates divergence
+      HAVING COUNT(DISTINCT doc_id) > (SELECT nd * 0.05 FROM n)),
+    bplist AS (SELECT COALESCE(LIST(key), []) AS bl FROM bp),
     rebuilt AS (
       SELECT doc_id,
-             LIST_FILTER(sl, s -> NOT LIST_CONTAINS(bl, s)) AS keptl,
+             LIST_FILTER(sl, s -> NOT LIST_CONTAINS(bl, LOWER(s))) AS keptl,
              LEN(sl) AS n_all
       FROM docs_l CROSS JOIN bplist)
     SELECT doc_id, ARRAY_TO_STRING(keptl, '. ') AS text,
@@ -1837,17 +1839,19 @@ def q54(spark, sf_dir):
     qual = t["orders"].where(F.col("o_totalprice") > 400000).select("o_orderkey")
     words = SK.build_bloom((r["o_orderkey"] for r in qual.collect()), m=_BLOOM_M)
     li = t["lineitem"]
-    passed = SK.bloom_might_contain(F.col("l_orderkey"), words, m=_BLOOM_M)
     flagged = li.join(
         F.broadcast(qual.withColumn("_hit", F.lit(1))),
         li["l_orderkey"] == qual["o_orderkey"],
         "left",
     )
+    # with_bloom_pass binds the lane positions once per row (the md5
+    # chains would otherwise re-evaluate per reference)
+    flagged = SK.with_bloom_pass(flagged, "l_orderkey", words, m=_BLOOM_M)
     return flagged.agg(
         F.count("*").alias("n_fact"),
         F.sum(F.when(F.col("_hit") == 1, 1).otherwise(0)).cast("long").alias("exact_match"),
-        F.sum(passed.cast("int")).cast("long").alias("bloom_pass"),
-        F.sum(F.when(passed & F.col("_hit").isNull(), 1).otherwise(0))
+        F.sum(F.col("bloom_pass").cast("int")).cast("long").alias("bloom_pass"),
+        F.sum(F.when(F.col("bloom_pass") & F.col("_hit").isNull(), 1).otherwise(0))
         .cast("long")
         .alias("false_pos"),
     )

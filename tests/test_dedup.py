@@ -141,15 +141,16 @@ def test_connected_components_raises_on_nonconvergence(spark):
 def test_strip_boilerplate_semantics(spark):
     """The repeated disclaimer is stripped from every doc, unique content
     survives order-preserving, and an all-boilerplate doc drops out."""
-    disclaimer = "all rights reserved"
-    rows = [(i, f"unique fact {i}. {disclaimer}. more text {i}") for i in range(20)]
-    rows.append((99, disclaimer))  # fully-boilerplate doc
+    disclaimer = "All Rights Reserved"
+    rows = [(i, f"Unique Fact {i}. {disclaimer}. More Text {i}") for i in range(20)]
+    rows.append((99, disclaimer.lower()))  # fully-boilerplate doc (case-insensitive match)
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in DD.strip_boilerplate(docs, max_doc_frac=0.5).collect()}
     assert 99 not in out  # nothing left
     for i in range(20):
         r = out[i]
-        assert r["text"] == f"unique fact {i}. more text {i}"
+        # ORIGINAL casing preserved — only the comparison key lowercases
+        assert r["text"] == f"Unique Fact {i}. More Text {i}"
         assert r["n_kept"] == 2 and r["n_dropped"] == 1
 
 

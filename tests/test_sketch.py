@@ -36,3 +36,39 @@ def test_python_and_spark_lanes_agree(spark):
         ).collect()
     }
     assert got["7"] and got["42"]
+
+
+def test_sql_rendering_matches_python(spark):
+    """bloom_might_contain_sql (embedded-words form) agrees with the
+    Python build and the Spark column on the same keys — the
+    'same bits, same lanes, any engine' claim, gated."""
+    import duckdb
+
+    keys = ["3", "1234", "99999"]
+    words = SK.build_bloom(keys, m=4096, k=3)
+    sql = SK.bloom_might_contain_sql("x", words, m=4096, k=3)
+    con = duckdb.connect()
+    got = dict(
+        con.execute(
+            f"SELECT x, {sql} FROM (VALUES ('3'), ('1234'), ('99999'), ('7'), ('424242')) t(x)"
+        ).fetchall()
+    )
+    assert got["3"] and got["1234"] and got["99999"]
+    df = spark.createDataFrame([("3",), ("7",), ("424242",)], "x string")
+    spark_got = {
+        r["x"]: r["bloom_pass"]
+        for r in SK.with_bloom_pass(df, "x", words, m=4096, k=3).collect()
+    }
+    assert spark_got["3"]
+    assert spark_got["7"] == got["7"] and spark_got["424242"] == got["424242"]
+
+
+def test_m_validation(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        SK.build_bloom(["1"], m=48)
+    with pytest.raises(ValueError):
+        SK.build_bloom(["1"], m=1 << 18)
+    with pytest.raises(ValueError):
+        SK.with_bloom_pass(None, "x", [0] * 10, m=4096)
