@@ -1855,3 +1855,42 @@ def q54(spark, sf_dir):
         .cast("long")
         .alias("false_pos"),
     )
+
+
+@register(
+    "q55_stratified_sample",
+    """
+    WITH rated AS (
+      SELECT source, doc_id,
+             [6554, 16384, 32768][
+               ((STRPOS('0123456789abcdef', SUBSTR(MD5(source), 1, 1)) - 1) % 3) + 1
+             ] AS thr,
+             (STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+             + (STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+             + (STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+             + (STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS hv
+      FROM documents)
+    SELECT source, CAST(thr AS INT) AS thr,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN hv < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM rated GROUP BY source, thr
+    """,
+)
+def q55(spark, sf_dir):
+    """Deterministic stratified sampling (the data-mixing step): each
+    source stratum keeps a per-stratum fraction (10/25/50%, chosen by
+    source hash) of documents selected by key hash — reproducible across
+    engines AND partitionings, unlike sample()/randomSplit whose output
+    depends on partition layout.  At corpus scale this is one narrow
+    pass: no shuffle until the reporting aggregate."""
+    t = _t(spark, sf_dir, "documents")
+    thr = F.element_at(
+        F.array(F.lit(6554), F.lit(16384), F.lit(32768)),
+        (F.conv(F.substring(F.md5("source"), 1, 1), 16, 10).cast("int") % 3) + 1,
+    )
+    hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+    rated = t["documents"].select("source", thr.alias("thr"), hv.alias("hv"))
+    return rated.groupBy("source", F.col("thr").cast("int").alias("thr")).agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("hv") < F.col("thr"), 1).otherwise(0)).cast("long").alias("n_sampled"),
+    )
