@@ -1894,3 +1894,53 @@ def q55(spark, sf_dir):
         F.count("*").alias("n_total"),
         F.sum(F.when(F.col("hv") < F.col("thr"), 1).otherwise(0)).cast("long").alias("n_sampled"),
     )
+
+
+@register(
+    "q56_jaccard_lsh_verified",
+    f"""
+    WITH {_SHINGLES_CTE},
+    proj AS (SELECT doc_id, MD5('seed0|' || shingle) AS d0, MD5('seed1|' || shingle) AS d1
+             FROM shingles),
+    sigs AS (
+      SELECT doc_id,
+             MIN(SUBSTRING(d0, 1, 8)) AS h0, MIN(SUBSTRING(d0, 9, 8)) AS h1,
+             MIN(SUBSTRING(d0, 17, 8)) AS h2, MIN(SUBSTRING(d0, 25, 8)) AS h3,
+             MIN(SUBSTRING(d1, 1, 8)) AS h4, MIN(SUBSTRING(d1, 9, 8)) AS h5,
+             MIN(SUBSTRING(d1, 17, 8)) AS h6, MIN(SUBSTRING(d1, 25, 8)) AS h7
+      FROM proj GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band, MD5(h0 || '|' || h1) AS bh FROM sigs
+      UNION ALL SELECT doc_id, 1, MD5(h2 || '|' || h3) FROM sigs
+      UNION ALL SELECT doc_id, 2, MD5(h4 || '|' || h5) FROM sigs
+      UNION ALL SELECT doc_id, 3, MD5(h6 || '|' || h7) FROM sigs),
+    cands AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+      WHERE x.doc_id < y.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+      FROM shingles x JOIN shingles y USING (shingle)
+      WHERE x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id),
+    restricted AS (
+      SELECT i.* FROM inter i WHERE EXISTS (
+        SELECT 1 FROM cands c WHERE c.a = i.a AND c.b = i.b))
+    SELECT a, b, jaccard FROM (
+      SELECT a, b, ROUND(i / (sa.n + sb.n - i), 4) AS jaccard
+      FROM restricted JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+    WHERE jaccard >= 0.2
+    """,
+)
+def q56(spark, sf_dir):
+    """THE canonical two-phase corpus dedup: MinHash signatures -> banded
+    LSH candidate pairs (cost O(sum bucket^2), never O(n^2)) -> exact
+    Jaccard verification restricted to the candidates.  At 100 TB only
+    this shape is viable; its recall vs the exhaustive q24 is the
+    banding trade-off, and every stage is md5-exact so the WHOLE
+    composition hash-matches the DuckDB oracle."""
+    t = _t(spark, sf_dir, "documents")
+    sh = DD.word_shingles(t["documents"])
+    sigs = DD.minhash_signatures(sh, k=8)
+    cands = DD.lsh_candidate_pairs(sigs, bands=4, sig_len=8)
+    return DD.jaccard_pairs(sh, threshold=0.2, candidates=cands)
