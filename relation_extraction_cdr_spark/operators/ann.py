@@ -53,6 +53,10 @@ def cosine_topk(
     Returns (query_id, vec_id, cos_sim, rank), rank 1..k, self-match
     excluded, ties broken by vec_id for determinism.
     """
+    # empty vectors are excluded by contract (norm 0 -> undefined cosine;
+    # the SQL oracle's LIST_REDUCE would error on them)
+    queries = queries.where(F.size(vec_col) > 0)
+    corpus = corpus.where(F.size(vec_col) > 0)
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
@@ -253,6 +257,7 @@ def cosine_neardup_pairs(
     """
     from pyspark import StorageLevel
 
+    emb = emb.where(F.size(vec_col) > 0)  # empty vectors excluded by contract
     base = emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -385,6 +390,8 @@ def ivf_topk(
     Returns (query_id, vec_id, cos_sim, rank)."""
     from pyspark import StorageLevel
 
+    corpus = corpus.where(F.size(vec_col) > 0)
+    queries = queries.where(F.size(vec_col) > 0)
     cents = ivf_centroids(corpus, n_centroids, id_col, vec_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
