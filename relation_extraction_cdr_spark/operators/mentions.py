@@ -130,7 +130,10 @@ def entity_inventory(mentions: DataFrame) -> DataFrame:
     return mentions.groupBy("url", "mesh_id").agg(
         F.array_sort(F.collect_list(F.struct("start", "end"))).alias("positions"),
         F.max_by("mention_text", "start").alias("rep_text"),
-        F.first("type").alias("type"),
+        # LAST mention's type, like rep_text: the reference's dict entry
+        # is overwritten per mention (cdr_dataset.py:72-75), and
+        # F.first over an unordered groupBy is nondeterministic anyway
+        F.max_by("type", "start").alias("type"),
     )
 
 
