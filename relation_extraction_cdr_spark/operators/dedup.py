@@ -105,7 +105,7 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4, sig_len: int = 8
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4, sig_len: int | None = None
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: docs sharing any band
     hash. Returns (a, b) with a < b, distinct.
@@ -113,7 +113,18 @@ def lsh_candidate_pairs(
     sig_len is the signature length (minhash k) and must be divisible by
     bands — a fractional rows-per-band would silently skip signature
     lanes, so the slice boundaries are computed in Python and validated
-    (same contract as simhash_neardup_pairs)."""
+    (same contract as simhash_neardup_pairs).  When omitted, sig_len is
+    derived from the data; when given, it is validated against one row —
+    a mismatched sig_len would slice empty bands that all hash to
+    md5(''), silently degenerating the prefilter to all-pairs."""
+    probe = signatures.select(F.size("sig").alias("n")).head(1)
+    actual = probe[0]["n"] if probe else None
+    if sig_len is None:
+        if actual is None:
+            raise ValueError("cannot derive sig_len from an empty signatures input")
+        sig_len = actual
+    elif actual is not None and actual != sig_len:
+        raise ValueError(f"sig_len={sig_len} does not match signature arrays of size {actual}")
     if sig_len % bands:
         raise ValueError(f"sig_len={sig_len} not divisible by bands={bands}")
     r = sig_len // bands
@@ -415,7 +426,12 @@ def strip_boilerplate(
     back against the exploded sentence stream, dropped via left_anti, and
     documents reassembled order-preserving via the sentence position.
     n_dropped derives from per-doc totals (n_all - n_kept) so the
-    exploded stream is joined once, not twice."""
+    exploded stream is joined once, not twice.
+
+    Documents whose sentences are ALL boilerplate (or that split to no
+    non-empty sentences) are still emitted, with text='' and n_kept=0 —
+    a curation pass must never lose doc_ids silently; callers count
+    removals via n_kept=0 rather than diffing id sets."""
     bp = boilerplate_sentences(docs, id_col, text_col, max_doc_frac)
     sents = docs.select(
         F.col(id_col),
@@ -437,20 +453,26 @@ def strip_boilerplate(
             )
         ).alias("_n_all"),
     )
-    rebuilt = (
-        kept.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.array_sort(F.collect_list(F.struct("pos", "sentence"))).sentence,
-                ". ",
-            ).alias(text_col),
-            F.count("*").alias("n_kept"),
-        )
-        .join(totals, id_col)
-        .withColumn("n_dropped", F.col("_n_all") - F.col("n_kept"))
-        .drop("_n_all")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.struct("pos", "sentence"))).sentence,
+            ". ",
+        ).alias(text_col),
+        F.count("*").alias("n_kept"),
     )
-    return rebuilt
+    # totals covers EVERY input doc — the left join keeps fully-stripped
+    # documents (no surviving sentence groups) in the output
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("_n_all") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
 
 
 def contaminated_docs(

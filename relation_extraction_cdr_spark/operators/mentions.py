@@ -127,13 +127,20 @@ def entity_inventory(mentions: DataFrame) -> DataFrame:
     """Per-doc entity inventory (SURVEY §1.2, cdr_dataset.py:54-75):
     positions list + representative surface (LAST mention in document
     order wins — dict-overwrite semantics) + type."""
+    # total order for the "last mention" pick: start alone is ambiguous
+    # when two mentions of the same (url, mesh_id) share a start offset
+    # (identical-span gazetteer entries with different types) — max_by
+    # over a bare start would then be nondeterministic across runs.  The
+    # struct tiebreak (end, then the value itself) makes the pick stable;
+    # the shipped corpora are start-ordered and tie-free so this matches
+    # the reference's file-line-order dict overwrite exactly.
     return mentions.groupBy("url", "mesh_id").agg(
         F.array_sort(F.collect_list(F.struct("start", "end"))).alias("positions"),
-        F.max_by("mention_text", "start").alias("rep_text"),
+        F.max_by("mention_text", F.struct("start", "end", "mention_text")).alias("rep_text"),
         # LAST mention's type, like rep_text: the reference's dict entry
         # is overwritten per mention (cdr_dataset.py:72-75), and
         # F.first over an unordered groupBy is nondeterministic anyway
-        F.max_by("type", "start").alias("type"),
+        F.max_by("type", F.struct("start", "end", "type")).alias("type"),
     )
 
 

@@ -1723,7 +1723,7 @@ def q50(spark, sf_dir):
     SELECT doc_id, ARRAY_TO_STRING(keptl, '. ') AS text,
            CAST(LEN(keptl) AS BIGINT) AS n_kept,
            CAST(n_all - LEN(keptl) AS BIGINT) AS n_dropped
-    FROM rebuilt WHERE LEN(keptl) > 0
+    FROM rebuilt
     """,
 )
 def q51(spark, sf_dir):
@@ -1731,7 +1731,9 @@ def q51(spark, sf_dir):
     across more than 5% of documents (template chrome, disclaimers) are
     stripped corpus-wide and documents reassembled order-preserving —
     the CCNet-style repeated-segment pass a crawl pipeline runs before
-    training.  Fully oracled including the rebuilt text."""
+    training.  Fully oracled including the rebuilt text; fully-stripped
+    documents are kept with text='' and n_kept=0 (never silently
+    dropped)."""
     t = _t(spark, sf_dir, "documents")
     out = DD.strip_boilerplate(t["documents"], max_doc_frac=0.05)
     return out.select(

@@ -87,14 +87,10 @@ def sessionize_stateful(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        rows = pd.concat(list(pdfs)).sort_values("ts")
-        # normalize to microseconds regardless of the incoming pandas
-        # datetime resolution (Arrow hands over ns or us depending on
-        # the source type)
-        ts_us = rows["ts"].astype("datetime64[us]").astype("int64")
-        vals = rows["value"].astype("float64")
-
         if state.hasTimedOut:
+            # the timeout path must not touch the data iterator: the API
+            # contract says it may be empty for timed-out keys, in which
+            # case pd.concat(list(pdfs)) would raise ValueError
             start, last, n, total = state.get
             state.remove()
             yield pd.DataFrame(
@@ -107,6 +103,13 @@ def sessionize_stateful(
                 }
             )
             return
+
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        # normalize to microseconds regardless of the incoming pandas
+        # datetime resolution (Arrow hands over ns or us depending on
+        # the source type)
+        ts_us = rows["ts"].astype("datetime64[us]").astype("int64")
+        vals = rows["value"].astype("float64")
 
         start, last, n, total = state.get if state.exists else (None, None, 0, 0.0)
         done = []

@@ -58,6 +58,18 @@ def test_minhash_lsh_candidates(docs):
     assert (3, 4) not in cands
 
 
+def test_lsh_sig_len_guard(docs):
+    """A sig_len that disagrees with the actual signature arrays must
+    raise — out-of-range band slices would hash md5('') identically for
+    every doc, silently degenerating the prefilter to all-pairs."""
+    sigs = DD.minhash_signatures(DD.word_shingles(docs), k=4)
+    with pytest.raises(ValueError, match="does not match"):
+        DD.lsh_candidate_pairs(sigs, bands=4, sig_len=8)
+    # derived sig_len (k=4, bands=4 -> 1 lane per band) just works
+    derived = {(r["a"], r["b"]) for r in DD.lsh_candidate_pairs(sigs, bands=4).collect()}
+    assert (0, 1) in derived
+
+
 def test_simhash(docs):
     sh = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs).collect()}
     assert sh[0] == sh[1]
@@ -140,13 +152,15 @@ def test_connected_components_raises_on_nonconvergence(spark):
 
 def test_strip_boilerplate_semantics(spark):
     """The repeated disclaimer is stripped from every doc, unique content
-    survives order-preserving, and an all-boilerplate doc drops out."""
+    survives order-preserving, and an all-boilerplate doc is kept with
+    empty text (doc_ids are never silently lost)."""
     disclaimer = "All Rights Reserved"
     rows = [(i, f"Unique Fact {i}. {disclaimer}. More Text {i}") for i in range(20)]
     rows.append((99, disclaimer.lower()))  # fully-boilerplate doc (case-insensitive match)
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in DD.strip_boilerplate(docs, max_doc_frac=0.5).collect()}
-    assert 99 not in out  # nothing left
+    r99 = out[99]  # fully stripped, but present with a removal signal
+    assert r99["text"] == "" and r99["n_kept"] == 0 and r99["n_dropped"] == 1
     for i in range(20):
         r = out[i]
         # ORIGINAL casing preserved — only the comparison key lowercases
