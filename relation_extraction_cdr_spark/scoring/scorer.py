@@ -31,15 +31,21 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..functions.tokenize import piece_to_id
+from ..functions.tokenize import vocab_id
 
 SCORED_SCHEMA = (
     "url string, chem_mesh string, dis_mesh string, label int, "
     "evidence_type string, pred int, prob double"
 )
 
+# causal-trigger WordPiece ids; vocab_id (not piece_to_id) so an
+# out-of-vocab surface form can never alias to [UNK] and make every
+# unknown token a trigger.  "induces" max-munches to induce+##s, so the
+# in-vocab stems cover all inflections the corpus generator emits.
 _TRIGGER_IDS = frozenset(
-    piece_to_id(w) for w in ("induc", "induce", "induced", "induces", "inducing")
+    tid
+    for w in ("induc", "induce", "induced", "induces", "inducing")
+    if (tid := vocab_id(w)) is not None
 )
 
 

@@ -16,8 +16,9 @@ from relation_extraction_cdr_spark.operators.features import featurize_py
 def test_tokenizer_markers():
     pieces = tokenize_pieces("x [E] lithium [/E] y")
     assert pieces == ["x", "[e]", "lithium", "[/e]", "y"]
+    # encode wraps with [CLS] ... [SEP] like the reference's .encode()
     ids = encode("x [E] lithium [/E] y")
-    assert ids[1] == E_START_ID and ids[3] == E_END_ID
+    assert ids[2] == E_START_ID and ids[4] == E_END_ID
 
 
 def test_marker_insertion_and_mask():
@@ -31,9 +32,10 @@ def test_marker_insertion_and_mask():
     # classes sorted lexicographically: D010001 < D910001 < O
     assert feat["dis_code"] == 0 and feat["chem_code"] == 1
     o_code = 2
-    # chemical span: [e] lithium [/e] = first three tokens
-    assert mask[0] == mask[1] == mask[2] == feat["chem_code"]
-    assert mask[3] == o_code
+    assert mask[0] == o_code  # [CLS] is an 'O' row
+    # chemical span: [e] lithium [/e] = tokens 1..3 after [CLS]
+    assert mask[1] == mask[2] == mask[3] == feat["chem_code"]
+    assert mask[4] == o_code
     # disease span carries dis_code
     tremor_pos = ids.index(piece_to_id("tremor"))
     assert mask[tremor_pos] == feat["dis_code"]
@@ -47,7 +49,8 @@ def test_marker_insertion_disease_first():
     feat = featurize_py(sent, 0, "D910001", "D010001", cs, cs + 7, ds, ds + 6)
     ids, mask = feat["token_ids"], feat["entity_mask"]
     # earlier-starting entity (disease) is 'first' in mask-walk order
-    assert mask[0] == feat["dis_code"]
+    # (mask[0] is the [CLS] 'O' row; the disease marker opens at 1)
+    assert mask[1] == feat["dis_code"]
     li = ids.index(piece_to_id("lithium"))
     assert mask[li] == feat["chem_code"]
 
@@ -57,7 +60,7 @@ def test_sentence_relative_offsets():
     sent = "lithium induced tremor."
     feat = featurize_py(sent, 100, "D910001", "D010001", 100, 107, 116, 122)
     assert feat is not None
-    assert feat["token_ids"][0] == E_START_ID
+    assert feat["token_ids"][1] == E_START_ID  # [0] is [CLS]
 
 
 def test_overlong_dropped():
