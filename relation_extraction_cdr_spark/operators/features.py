@@ -103,6 +103,37 @@ def featurize_py(
     )
 
 
+def wordpiece_segments(words: DataFrame, word_col: str = "word") -> DataFrame:
+    """Per-word WordPiece segmentation as a relational surface:
+    (word) -> (word, n_pieces, ids_csv) using the real ELECTRA vocab
+    kernel (functions/wordpiece.py).  The word stream is tiny after
+    distinct() (Zipfian vocabulary), so this is a broadcast-sized
+    dimension in practice; corpus-side consumers join words to their
+    piece counts instead of re-tokenizing every occurrence."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.wordpiece import UNK_ID, VOCAB, wordpiece
+
+        for pdf in batches:
+            out = []
+            for w in pdf[word_col]:
+                pieces = wordpiece(w)
+                out.append(
+                    {
+                        "word": w,
+                        "n_pieces": len(pieces),
+                        "ids_csv": ",".join(str(VOCAB.get(p, UNK_ID)) for p in pieces),
+                    }
+                )
+            yield (
+                pd.DataFrame(out, columns=["word", "n_pieces", "ids_csv"])
+                if out
+                else pd.DataFrame(columns=["word", "n_pieces", "ids_csv"])
+            )
+
+    return words.mapInPandas(run, schema="word string, n_pieces int, ids_csv string")
+
+
 def featurize(evidence: DataFrame, use_entity_token: bool = True, max_len: int = 512) -> DataFrame:
     """Distributed featurization over EVIDENCE_SCHEMA rows.
 

@@ -59,7 +59,12 @@ def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
     """
     if kind not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for media kind {kind!r}")
-    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+    # float64 throughout: integer byte sums are exact in double, so the
+    # per-column mean is the correctly-rounded double of the exact value
+    # and the final float32 cast (schema array<float>) is reproducible by
+    # any engine computing sum/n/255 in double — no float32-accumulation
+    # or double-rounding artifacts in the contract
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
     pad = (-len(arr)) % 8
     if pad:
         arr = np.pad(arr, (0, pad))

@@ -914,6 +914,63 @@ _PAIRS_CTE = f"""{_MENTIONS_CTE},
 """
 
 
+# --- WordPiece-in-SQL: an independent DuckDB implementation of the real
+# ELECTRA greedy max-munch (functions/wordpiece.py) so token-count/token-id
+# queries get value oracles.  The committed vocab file is read with
+# read_text and exploded to (id, piece); a non-recursive jump table
+# precomputes, for every (word, char-pos), the LONGEST vocab match
+# (##-prefixed beyond pos 0), and a recursive walk follows the jumps —
+# exactly the greedy loop of WordpieceTokenizer.tokenize.  Unreachable
+# positions or words over 100 chars collapse to [UNK]=100.
+
+from pathlib import Path as _Path
+
+_WP_VOCAB_PATH = (
+    _Path(__file__).resolve().parent.parent / "data" / "electra_vocab.txt"
+).as_posix()
+
+
+def _wordpiece_cte() -> str:
+    """SQL block computing wp(word, n_pieces, ids_csv) for a previously
+    defined wpwords(word) CTE.  Must appear under WITH RECURSIVE."""
+    return f"""
+  vocab AS (
+    SELECT u.i - 1 AS id, u.piece FROM (
+      SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(pieces) + 1),
+                    j -> STRUCT_PACK(i := j, piece := pieces[j]))) AS u
+      FROM (SELECT STRING_SPLIT(content, CHR(10)) AS pieces
+            FROM read_text('{_WP_VOCAB_PATH}'))
+    ) WHERE u.piece <> ''),
+  wp_cand AS (
+    SELECT word, pos, UNNEST(RANGE(1, LEN(word) - pos + 1)) AS l
+    FROM (SELECT word, UNNEST(RANGE(0, LEN(word))) AS pos FROM wpwords)),
+  wp_jumps AS (
+    SELECT c.word, c.pos, MAX(c.l) AS len, ARG_MAX(v.id, c.l) AS id
+    FROM wp_cand c JOIN vocab v
+      ON v.piece = (CASE WHEN c.pos > 0 THEN '##' ELSE '' END)
+                   || SUBSTR(c.word, c.pos + 1, c.l)
+    GROUP BY c.word, c.pos),
+  wp_walk AS (
+    SELECT word, 0 AS pos, 0 AS n_pieces, CAST('' AS VARCHAR) AS ids_csv
+    FROM wpwords
+    UNION ALL
+    SELECT w.word, w.pos + j.len, w.n_pieces + 1,
+           CASE WHEN w.ids_csv = '' THEN CAST(j.id AS VARCHAR)
+                ELSE w.ids_csv || ',' || CAST(j.id AS VARCHAR) END
+    FROM wp_walk w JOIN wp_jumps j ON j.word = w.word AND j.pos = w.pos
+    WHERE w.pos < LEN(w.word)),
+  wp AS (
+    SELECT word,
+           CASE WHEN LEN(word) > 100 OR endpos < LEN(word) THEN 1
+                ELSE np END AS n_pieces,
+           CASE WHEN LEN(word) > 100 OR endpos < LEN(word) THEN '100'
+                ELSE ids_csv END AS ids_csv
+    FROM (SELECT word, MAX(pos) AS endpos, MAX(n_pieces) AS np,
+                 ARG_MAX(ids_csv, pos) AS ids_csv
+          FROM wp_walk GROUP BY word))
+"""
+
+
 # Memoized helper DataFrames, keyed per Spark application (+ sf_dir).
 # createDataFrame yields a NEW ExistingRDD identity per call, so two
 # textually identical helper plans are NOT canonically equal — without
@@ -1230,14 +1287,41 @@ def q36(spark, sf_dir):
     return ANN.cosine_neardup_pairs(t["embeddings"], threshold=0.35)
 
 
-@register("q37_multimodal_features")  # no SQL oracle: byte-level stub
-# decode inside mapInPandas is not ANSI-SQL-expressible (rows-only check;
-# batch shapes, schema, and determinism are pytest-verified)
+@register(
+    "q37_multimodal_features",
+    """
+    WITH feats AS (
+      SELECT doc_id,
+             ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+             CAST(
+               LIST_REDUCE(
+                 LIST_TRANSFORM(RANGE(0, CAST(CEIL(LEN(text) / 8.0) AS INT)),
+                                r -> CAST(ASCII(SUBSTR(text, CAST(8 * r + 1 AS INT), 1))
+                                          AS DOUBLE)),
+                 (x, y) -> x + y)
+               / CEIL(LEN(text) / 8.0) / 255.0
+             AS FLOAT) AS f0,
+             CASE WHEN doc_id % 3 = 2
+                  THEN GREATEST(1, ((doc_id * 100 % 60000) // 1000) // 2)
+                  ELSE 1 END AS n_frames
+      FROM documents)
+    SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(f0 AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 4)
+             AS avg_f0,
+           CAST(SUM(n_frames) AS BIGINT) AS total_frames
+    FROM feats GROUP BY kind
+    """,
+)
 def q37(spark, sf_dir):
     """Multimodal plumbing over the documents table: text payloads cast
     to opaque binary media rows with typed metadata, then decode +
     frame-sample + feature-extract in one narrow Arrow mapInPandas stage
-    — the exact schema/partitioning contract a real codec plugs into."""
+    — the exact schema/partitioning contract a real codec plugs into.
+
+    VALUE-oracled since round 2: the deterministic fake decode is
+    float64-exact (integer byte sums -> two double divisions -> float32
+    cast), so DuckDB reproduces feature[0], frame counts, and the
+    decimal-stabilized per-kind average byte-for-byte."""
     from ..operators import multimodal as MM
 
     t = _t(spark, sf_dir, "documents")
@@ -1260,7 +1344,14 @@ def q37(spark, sf_dir):
         feats.groupBy("kind")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg(F.element_at("feature", 1)), 4).alias("avg_f0"),
+            # decimal-stabilized mean (q01 pattern): float32 features cast
+            # to DECIMAL(38,12) sum exactly on both engines; one double
+            # division at the end
+            F.round(
+                F.sum(dec(F.element_at("feature", 1), 12)).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_f0"),
             F.sum("n_frames").alias("total_frames"),
         )
         .orderBy("kind")
@@ -1590,13 +1681,73 @@ def q47(spark, sf_dir):
     )
 
 
-@register("q48_ner_features")  # rows-only: WordPiece token ids are not
-# ANSI-SQL-expressible (byte-level token/label parity is pytest-verified
-# in test_ner; this surfaces the §3.2 path in the driver check)
+@register(
+    "q48_ner_features",
+    f"""
+    WITH RECURSIVE {_MENTIONS_CTE},
+    wpwords AS (SELECT DISTINCT tok AS word FROM toks WHERE tok <> ''),
+    {_wordpiece_cte()},
+    stream AS (
+      SELECT o.doc_id, o.i, wp.n_pieces,
+             CASE WHEN pr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS pre,
+             CASE WHEN po.doc_id IS NOT NULL THEN 1 ELSE 0 END AS post
+      FROM offs o
+      JOIN wp ON wp.word = o.tok
+      LEFT JOIN (SELECT DISTINCT m.doc_id, o2.i FROM mentions m JOIN offs o2
+                 ON o2.doc_id = m.doc_id AND o2.cstart = m.start) pr
+             ON pr.doc_id = o.doc_id AND pr.i = o.i
+      LEFT JOIN (SELECT DISTINCT m.doc_id, o2.i FROM mentions m JOIN offs o2
+                 ON o2.doc_id = m.doc_id
+                AND o2.cstart + LENGTH(o2.tok) = m."end") po
+             ON po.doc_id = o.doc_id AND po.i = o.i
+      WHERE o.tok <> ''),
+    cums AS (
+      SELECT doc_id, i,
+             1 + SUM(pre + n_pieces + post) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             1 + COALESCE(SUM(pre + n_pieces + post) OVER (PARTITION BY doc_id
+                 ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS cum_before
+      FROM stream),
+    spans AS (
+      SELECT m.doc_id, m.type, c1.cum_before AS pos_e, c2.cum - 1 AS pos_end
+      FROM mentions m
+      JOIN offs o1 ON o1.doc_id = m.doc_id AND o1.cstart = m.start
+      JOIN cums c1 ON c1.doc_id = m.doc_id AND c1.i = o1.i
+      JOIN offs o2 ON o2.doc_id = m.doc_id
+                  AND o2.cstart + LENGTH(o2.tok) = m."end"
+      JOIN cums c2 ON c2.doc_id = m.doc_id AND c2.i = o2.i),
+    dtotals AS (SELECT doc_id, MAX(cum) + 1 AS t FROM cums GROUP BY doc_id),
+    dcut AS (SELECT doc_id, MAX(pos_end) AS l FROM spans
+             WHERE pos_end <= 511 GROUP BY doc_id),
+    dfinal AS (
+      SELECT t.doc_id,
+             CASE WHEN t.t <= 512 THEN t.t ELSE c.l + 1 END AS n_tokens,
+             t.t <= 512 AS notrunc, COALESCE(c.l, -1) AS lim
+      FROM dtotals t LEFT JOIN dcut c ON c.doc_id = t.doc_id
+      WHERE t.t <= 512 OR c.l IS NOT NULL)
+    SELECT CAST(f.doc_id AS BIGINT) AS doc_id,
+           CAST(f.n_tokens AS INTEGER) AS n_tokens,
+           CAST(COUNT(*) AS INTEGER) AS n_marked,
+           CAST(SUM(CASE WHEN s.type = 'Chemical' THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_chem,
+           CAST(SUM(CASE WHEN s.type = 'Disease' THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_dis
+    FROM dfinal f JOIN spans s
+      ON s.doc_id = f.doc_id AND (f.notrunc OR s.pos_end <= f.lim)
+    GROUP BY f.doc_id, f.n_tokens
+    """,
+)
 def q48(spark, sf_dir):
     """NER-path featurization (reference train_ner, SURVEY §3.2):
-    whole-doc marker insertion + 512-truncation + one labeled entry per
-    mention-start token, aggregated to stable per-doc counts."""
+    whole-doc marker insertion + 512-truncation-to-last-[/e] + one
+    labeled entry per mention-start token, aggregated to stable per-doc
+    counts.  FULLY value-oracled since the real-WordPiece swap: the
+    DuckDB side reconstructs the marked token stream relationally —
+    per-word piece counts from the recursive max-munch walk
+    (_wordpiece_cte), [e]/[/e] markers as word-aligned stream elements,
+    running-sum positions, and the same truncate-back-to-last-[/e]
+    rule — an independent implementation of the whole path."""
     from ..operators.ner import docs_with_mentions, ner_features
 
     m = _doc_mentions(spark, sf_dir)
@@ -1974,3 +2125,36 @@ def q56(spark, sf_dir):
     sigs = DD.minhash_signatures(sh, k=8)
     cands = DD.lsh_candidate_pairs(sigs, bands=4, sig_len=8)
     return DD.jaccard_pairs(sh, threshold=0.2, candidates=cands)
+
+
+@register(
+    "q57_wordpiece",
+    f"""
+    WITH RECURSIVE
+    wpwords AS (
+      SELECT DISTINCT tok AS word FROM (
+        SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok FROM documents)
+      WHERE tok <> ''),
+    {_wordpiece_cte()}
+    SELECT word, CAST(n_pieces AS INTEGER) AS n_pieces, ids_csv FROM wp
+    """,
+)
+def q57(spark, sf_dir):
+    """Real-vocab WordPiece segmentation as a value-oracled query (F7):
+    the corpus vocabulary (distinct whitespace words) mapped to its full
+    greedy max-munch piece-id sequences.  The engine side runs the
+    actual kernel (functions/wordpiece.py) in one Arrow batch stage over
+    the distinct-word dimension; the oracle is an INDEPENDENT SQL
+    implementation — jump table of longest vocab matches per (word, pos)
+    + recursive walk — over the same committed vocab file, so every id
+    in every sequence is cross-checked."""
+    from ..operators.features import wordpiece_segments
+
+    t = _t(spark, sf_dir, "documents")
+    words = (
+        t["documents"]
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    return wordpiece_segments(words)

@@ -90,7 +90,16 @@ def _score_rows(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def score_pairs(features: DataFrame, backend: str = "stub") -> DataFrame:
-    """features (FEATURES_SCHEMA) -> scored pairs (SCORED_SCHEMA)."""
+    """features (FEATURES_SCHEMA) -> scored pairs (SCORED_SCHEMA).
+
+    backend="electra" runs the EXACT reference architecture
+    (scoring/electra.py: embeddings -> 12-layer encoder -> first-token
+    span pooling -> concat -> dense/gelu/out_proj) with seeded weights
+    per executor; the emitted DECISION stays the deterministic trigger
+    rule (CI needs exact P/R without real checkpoint weights) while the
+    real head logit modulates the probability tail — identical plumbing
+    to what loading converted weights via ElectraWeights.load_npz would
+    score with."""
     if backend == "onnx":  # pragma: no cover - not available in sandbox
         try:
             import onnxruntime  # noqa: F401
@@ -100,12 +109,45 @@ def score_pairs(features: DataFrame, backend: str = "stub") -> DataFrame:
                 "entity-pair head (electra_model.py:563-734) to ONNX and "
                 "install onnxruntime to enable this backend"
             ) from e
+    use_electra = backend == "electra"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if use_electra and len(pdf):
+                pdf = pdf.assign(enc_logit=_electra_margins(pdf))
             yield _score_rows(pdf)
 
     return features.mapInPandas(run, schema=SCORED_SCHEMA)
+
+
+_ELECTRA_WEIGHTS = None
+
+
+def _electra_weights():
+    """Executor-global exact-architecture weights (seeded, deterministic
+    — the same lazy-init-once pattern a broadcast ONNX session uses)."""
+    global _ELECTRA_WEIGHTS
+    if _ELECTRA_WEIGHTS is None:
+        from .electra import DEFAULT_CONFIG, ElectraWeights
+
+        _ELECTRA_WEIGHTS = ElectraWeights.seeded(DEFAULT_CONFIG, seed=0)
+    return _ELECTRA_WEIGHTS
+
+
+def _electra_margins(pdf: pd.DataFrame) -> np.ndarray:
+    """Real-architecture positive-class logit margin per feature row
+    (the non-full-sample forward: one padded batch per micro-chunk,
+    sequence_padding.py semantics)."""
+    from .electra import score_candidates
+
+    logits = score_candidates(
+        _electra_weights(),
+        [list(x) for x in pdf["token_ids"]],
+        [list(x) for x in pdf["entity_mask"]],
+        [int(x) for x in pdf["chem_code"]],
+        [int(x) for x in pdf["dis_code"]],
+    )
+    return logits[:, 1] - logits[:, 0]
 
 
 def fused_score_docs(
@@ -153,6 +195,7 @@ def fused_score_docs(
 
     tree_map = tree_map or {}
     use_encoder = backend == "numpy"
+    use_electra = backend == "electra"
 
     def doc_encoder_logits(text: str, pair_spans):
         """One encoder pass per document (is_full_sample shape,
@@ -268,7 +311,12 @@ def fused_score_docs(
                     ):
                         row["enc_logit"] = logit
             if feat_rows:
-                yield _score_rows(pd.DataFrame(feat_rows))
+                fdf = pd.DataFrame(feat_rows)
+                if use_electra:
+                    # exact-architecture forward over the batch's padded
+                    # candidate rows (train_sentence shape, SURVEY §3.1)
+                    fdf = fdf.assign(enc_logit=_electra_margins(fdf))
+                yield _score_rows(fdf)
             else:
                 yield pd.DataFrame(columns=cols)
 
