@@ -154,10 +154,21 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over docs that share >=1 shingle (equi-join on
     shingle — no cross product).  Optionally restricted to LSH candidate
     pairs.  Returns (a, b, jaccard) with jaccard rounded to 4dp.
+
+    ``max_df``: hot-shingle guard.  The shingle self-join costs
+    O(sum df(shingle)^2) — ONE boilerplate 3-gram shared by 10^6 docs
+    creates 10^12 join rows.  With max_df set, shingles whose document
+    frequency exceeds it are dropped from the universe BEFORE the
+    self-join (standard MinHash practice; the df cap bounds the join at
+    O(n_shingles * max_df)).  Jaccard is then computed over the capped
+    universe — sizes and intersections consistently exclude the dropped
+    shingles.  Default None keeps the exact semantics (oracle parity for
+    q24); production clustering (neardup_clusters) turns it on.
 
     The shingle input feeds three plan branches (sizes, both join sides);
     persisting it fills the (id, shingle) stream once — at corpus scale
@@ -168,6 +179,16 @@ def jaccard_pairs(
     """
     from pyspark import StorageLevel
 
+    if max_df is not None:
+        hot = (
+            shingles.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        # anti-join against the (by construction tiny: <= rows/max_df
+        # distinct values) hot set; AQE picks broadcast when it fits
+        shingles = shingles.join(hot, "shingle", "left_anti")
     shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
     a = shingles.select(F.col(id_col).alias("a"), "shingle")
@@ -311,12 +332,19 @@ def neardup_clusters(
     text_col: str = "text",
     threshold: float = 0.8,
     n: int = 3,
+    max_df: int = 10_000,
 ) -> DataFrame:
     """End-to-end dedup clustering: n-gram Jaccard pairs -> connected
     components -> one row per cluster with its canonical representative
     (min id) and size.  Returns (cluster_id, size, members array sorted).
-    """
-    pairs = jaccard_pairs(word_shingles(docs, id_col, text_col, n), id_col, threshold)
+
+    ``max_df`` (on by default here — this is the production entry point):
+    shingles shared by more than max_df documents are boilerplate, carry
+    no dedup signal, and quadratically blow up the self-join; they are
+    dropped from the universe before pairing (see jaccard_pairs)."""
+    pairs = jaccard_pairs(
+        word_shingles(docs, id_col, text_col, n), id_col, threshold, max_df=max_df
+    )
     cc = connected_components(pairs)
     return (
         cc.groupBy("cluster_id")

@@ -58,6 +58,40 @@ def build_bloom(keys: Iterable, m: int = DEFAULT_M, k: int = DEFAULT_K) -> list[
     return words
 
 
+def build_bloom_distributed(df, key_col: str, m: int = DEFAULT_M, k: int = DEFAULT_K) -> list[int]:
+    """Distributed Bloom build: the 100 TB shape.
+
+    ``build_bloom`` funnels every key through the driver — fine for a
+    dimension you would broadcast anyway, fatal when the "small" side of
+    a pre-filter is 10^8 keys.  This variant computes the k lane
+    positions executor-side (one narrow projection), aggregates the bit
+    words with a single m/32-group BIT_OR shuffle, and collects ONLY the
+    packed words (<= m/32 rows, e.g. 2048 for m=65536) — the driver never
+    sees a key.  Bit-identical to ``build_bloom`` on the same keys."""
+    _check_m(m)
+    lanes = df.select(
+        F.explode(
+            F.array(*[_lane_expr(F.col(key_col), i, m) for i in range(k)])
+        ).alias("p")
+    )
+    rows = (
+        lanes.select(
+            F.floor(F.col("p") / 32).cast("int").alias("wi"),
+            # call_function: the DSL shiftleft() only takes a literal shift
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("p") % 32).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy("wi")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    words = [0] * (m // 32)
+    for r in rows:
+        words[r["wi"]] = int(r["word"])
+    return words
+
+
 def _lane_expr(col, i: int, m: int):
     """Spark column: lane i bit position of the stringified key."""
     hex4 = F.substring(F.md5(F.concat(F.lit(f"{i}|"), col.cast("string"))), 1, 4)

@@ -1483,10 +1483,12 @@ def q41(spark, sf_dir):
     "q42_neardup_clusters",
     f"""
     WITH RECURSIVE {_SHINGLES_CTE},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    hot AS (SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) > 10000),
+    capped AS (SELECT s.* FROM shingles s ANTI JOIN hot USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
     inter AS (
       SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
-      FROM shingles x JOIN shingles y USING (shingle)
+      FROM capped x JOIN capped y USING (shingle)
       WHERE x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id),
     pairs AS (
       SELECT a, b FROM inter
@@ -1509,9 +1511,10 @@ def q42(spark, sf_dir):
     into connected components by distributed min-label propagation — the
     canonicalization step a corpus-scale dedup pipeline runs after pair
     generation.  The DuckDB oracle computes the same components with a
-    recursive CTE (min reachable id per node)."""
+    recursive CTE (min reachable id per node), including the hot-shingle
+    df cap the production path applies before the self-join."""
     t = _t(spark, sf_dir, "documents")
-    clusters = DD.neardup_clusters(t["documents"], threshold=0.2)
+    clusters = DD.neardup_clusters(t["documents"], threshold=0.2, max_df=10_000)
     return clusters.select(
         "cluster_id",
         F.col("size").cast("long").alias("size"),
@@ -2018,7 +2021,10 @@ def q54(spark, sf_dir):
 
     t = _t(spark, sf_dir, "orders", "lineitem")
     qual = t["orders"].where(F.col("o_totalprice") > 400000).select("o_orderkey")
-    words = SK.build_bloom((r["o_orderkey"] for r in qual.collect()), m=_BLOOM_M)
+    # distributed build: lane positions executor-side, one BIT_OR
+    # aggregate, driver receives only the m/32 packed words — never the
+    # keys (the round-1 collect() funnel is gone)
+    words = SK.build_bloom_distributed(qual, "o_orderkey", m=_BLOOM_M)
     li = t["lineitem"]
     flagged = li.join(
         F.broadcast(qual.withColumn("_hit", F.lit(1))),

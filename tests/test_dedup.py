@@ -182,3 +182,43 @@ def test_contaminated_docs_flags_overlap(spark):
     )
     got = {(r["doc_id"], r["bench_id"]) for r in DD.contaminated_docs(docs, bench, n=5).collect()}
     assert got == {(2, 0)}
+
+
+def test_hot_shingle_cap_bounds_the_self_join(spark):
+    """1,000 docs all sharing one boilerplate shingle: uncapped, the
+    self-join on that shingle alone would produce C(1000,2) = 499,500
+    intersection rows; with max_df the hot shingle is dropped from the
+    universe and only genuine near-dup pairs remain.  Row-count evidence
+    is asserted on both sides."""
+    rows = [(i, f"unique{i} token{i} word{i} all rights reserved") for i in range(998)]
+    # two genuine near-dups sharing their full shingle set
+    rows.append((998, "same text here all rights reserved"))
+    rows.append((999, "same text here all rights reserved"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = DD.word_shingles(docs, n=3)
+
+    capped = DD.jaccard_pairs(sh, threshold=0.2, max_df=50).collect()
+    # the only surviving pair is the genuine near-dup one
+    assert {(r["a"], r["b"]) for r in capped} == {(998, 999)}
+    assert capped[0]["jaccard"] == 1.0
+
+    # row-count evidence of the blowup the cap prevents: every doc shares
+    # the 'all rights reserved' shingle, so the uncapped equi-join emits
+    # >= C(1000,2) candidate intersections
+    uncapped_inter = (
+        sh.select(F.col("doc_id").alias("a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .where(F.col("a") < F.col("b"))
+        .count()
+    )
+    assert uncapped_inter >= 499_500
+
+
+def test_neardup_clusters_cap_default_is_inert_at_fixture_scale(spark):
+    """The production default (max_df=10,000) never triggers on corpora
+    smaller than the cap, so q42's oracle parity is unchanged."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(4)]
+    rows.append((9, "an entirely different sentence about query planners here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {tuple(r["members"]) for r in DD.neardup_clusters(docs, threshold=0.5).collect()}
+    assert (0, 1, 2, 3) in out

@@ -72,3 +72,16 @@ def test_m_validation(spark):
         SK.build_bloom(["1"], m=1 << 18)
     with pytest.raises(ValueError):
         SK.with_bloom_pass(None, "x", [0] * 10, m=4096)
+
+
+def test_distributed_bloom_bit_identical(spark):
+    """build_bloom_distributed (BIT_OR aggregate, words-only collect)
+    must produce exactly the words the driver-side build does."""
+    from relation_extraction_cdr_spark.operators import sketch as SK
+
+    keys = [f"k{i}" for i in range(257)]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    dist = SK.build_bloom_distributed(df, "key", m=4096)
+    drv = SK.build_bloom(keys, m=4096)
+    assert dist == drv
+    assert len(dist) == 4096 // 32
