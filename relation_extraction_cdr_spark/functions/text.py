@@ -84,6 +84,24 @@ def split_sentences_py(text: str) -> list[dict]:
     return out
 
 
+def split_sentences_punkt_py(text: str, splitter=None) -> list[dict]:
+    """Punkt-equivalent splitter with the same output contract as
+    ``split_sentences_py`` (incl. the first-occurrence ``text.find``
+    offset quirk, F4).  Backed by the vendored Kiss & Strunk algorithm
+    (functions/punkt.py) — the fidelity path for reference parity with
+    nltk.sent_tokenize (text_utils.py:46,73,153); the regex rule above
+    remains the SQL-expressible engine contract for oracle queries."""
+    if text is None:
+        return []
+    from .punkt import sent_tokenize_punkt
+
+    out = []
+    for i, sent in enumerate(sent_tokenize_punkt(text, splitter)):
+        start = text.find(sent)  # first-occurrence semantics (quirk F4)
+        out.append({"idx": i, "start": start, "end": start + len(sent), "text": sent})
+    return out
+
+
 SENTENCES_SCHEMA = ArrayType(
     StructType(
         [

@@ -43,7 +43,12 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from ..functions.text import split_sentences_py
+from ..functions.text import split_sentences_punkt_py, split_sentences_py
+
+# pluggable sentence splitters: 'regex' is the SQL-expressible engine
+# contract (oracle parity); 'punkt' is the vendored Kiss & Strunk
+# algorithm for nltk.sent_tokenize fidelity (text_utils.py:73)
+SPLITTERS = {"regex": split_sentences_py, "punkt": split_sentences_punkt_py}
 
 EVIDENCE_SCHEMA = (
     "url string, chem_mesh string, dis_mesh string, label int, "
@@ -93,6 +98,7 @@ def select_evidence_py(
     extract_inter: bool = True,
     sents: list[dict] | None = None,
     pos_index: dict[int, list[int]] | None = None,
+    splitter: str = "regex",
 ) -> dict | None:
     """Single-pair reference implementation (also the pytest oracle).
 
@@ -104,7 +110,7 @@ def select_evidence_py(
     text_utils.py:149 list.index(min)).
     """
     if sents is None:
-        sents = split_sentences_py(text)
+        sents = SPLITTERS[splitter](text)
     by_idx = {s["idx"]: s for s in sents}
     if pos_index is None:
         pos_index = build_pos_index(
@@ -190,8 +196,8 @@ class DocIndex:
 
     __slots__ = ("sents", "idx")
 
-    def __init__(self, text: str):
-        self.sents = split_sentences_py(text)
+    def __init__(self, text: str, splitter: str = "regex"):
+        self.sents = SPLITTERS[splitter](text)
         self.idx: dict[int, list[int]] = {}
 
     def index_for(self, positions: list[int]) -> dict[int, list[int]]:
@@ -208,17 +214,19 @@ class DocIndexCache:
         self.cap = cap
         self.data: dict[str, DocIndex] = {}
 
-    def get(self, url: str, text: str) -> DocIndex:
+    def get(self, url: str, text: str, splitter: str = "regex") -> DocIndex:
         d = self.data.get(url)
         if d is None:
             if len(self.data) > self.cap:
                 self.data.clear()
-            d = DocIndex(text)
+            d = DocIndex(text, splitter)
             self.data[url] = d
         return d
 
 
-def select_evidence(pairs_with_text: DataFrame, extract_inter: bool = True) -> DataFrame:
+def select_evidence(
+    pairs_with_text: DataFrame, extract_inter: bool = True, splitter: str = "regex"
+) -> DataFrame:
     """Distributed evidence selection.
 
     Input columns: url, text, chem_mesh, dis_mesh, chem_positions,
@@ -232,7 +240,7 @@ def select_evidence(pairs_with_text: DataFrame, extract_inter: bool = True) -> D
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                d = cache.get(r.url, r.text)
+                d = cache.get(r.url, r.text, splitter)
                 cpos = [(int(p["start"]), int(p["end"])) for p in r.chem_positions]
                 dpos = [(int(p["start"]), int(p["end"])) for p in r.dis_positions]
                 row = select_evidence_py(

@@ -60,6 +60,7 @@ def score_candidates(
     heavy_doc_chars: int = 20_000,
     fused: bool = True,
     persist_intermediates: bool = True,
+    sentence_splitter: str = "regex",
 ) -> DataFrame:
     """pages -> scored pairs (one row per candidate with pred/prob).
 
@@ -137,7 +138,7 @@ def score_candidates(
         return fused_score_docs(
             payload, tree_map=tm, use_levi=use_levi,
             gazetteer=gd, max_term_words=max_words,
-            backend=scorer_backend,
+            backend=scorer_backend, sentence_splitter=sentence_splitter,
         )
 
     mentions = detect_mentions(docs, gaz)
@@ -161,7 +162,7 @@ def score_candidates(
         with_text = with_text.repartition(
             salt_partitions, F.xxhash64("url", "chem_mesh", "dis_mesh")
         )
-    evidence = select_evidence(with_text, extract_inter=True)
+    evidence = select_evidence(with_text, extract_inter=True, splitter=sentence_splitter)
     features = featurize(evidence)
     return score_pairs(features, backend=scorer_backend)
 

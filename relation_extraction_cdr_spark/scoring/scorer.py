@@ -158,6 +158,7 @@ def fused_score_docs(
     gazetteer: dict[str, list[tuple[str, str]]] | None = None,
     max_term_words: int = 1,
     backend: str = "stub",
+    sentence_splitter: str = "regex",
 ) -> DataFrame:
     """Doc-level fused stage: candidate pairs + Levi filter + evidence +
     featurize + score for ALL of a document's pairs in one pass — the
@@ -268,7 +269,7 @@ def fused_score_docs(
                     if gold and use_levi
                     else set()
                 )
-                doc = DocIndex(r.text)
+                doc = DocIndex(r.text, sentence_splitter)
                 doc_row0 = len(feat_rows)
                 pair_spans = []
                 for c in chems:
