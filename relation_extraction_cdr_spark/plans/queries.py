@@ -2164,3 +2164,180 @@ def q57(spark, sf_dir):
         .distinct()
     )
     return wordpiece_segments(words)
+
+
+@register(
+    "q58_gda_roundtrip",
+    f"""
+    WITH {_MENTIONS_CTE},
+    cooc AS (
+      SELECT DISTINCT m1.doc_id, m1.mesh_id AS chem_mesh, m2.mesh_id AS dis_mesh
+      FROM mentions m1 JOIN mentions m2
+        ON m1.doc_id = m2.doc_id AND m1.type = 'Chemical' AND m2.type = 'Disease'
+      WHERE ABS(m1.start - m2.start) <= {_COOC_WINDOW}),
+    men_n AS (SELECT doc_id, COUNT(*) AS n_mentions FROM mentions GROUP BY doc_id),
+    rel_n AS (SELECT doc_id, COUNT(*) AS n_relations FROM cooc GROUP BY doc_id)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(m.n_mentions, 0) AS BIGINT) AS n_mentions,
+           CAST(COALESCE(r.n_relations, 0) AS BIGINT) AS n_relations,
+           CAST(LENGTH(LOWER(d.text)) AS BIGINT) AS text_len
+    FROM documents d
+    LEFT JOIN men_n m ON m.doc_id = d.doc_id
+    LEFT JOIN rel_n r ON r.doc_id = d.doc_id
+    """,
+)
+def q58(spark, sf_dir):
+    """GDA->CDR conversion ROUNDTRIP (S6-S9, convert_gda_to_cdr.py):
+    CDR-shaped frames are serialized to PubTator block text
+    (pubtator_blocks, the write_cdr_file shape) and parsed BACK through
+    the block scanner + parse_documents/parse_mentions/parse_relations —
+    the oracle checks the post-roundtrip per-doc counts against the
+    pre-serialization truth, so any loss or corruption in the sink or
+    scan fails the hash."""
+    from ..sources.gda import gda_to_cdr
+    from ..sources.pubtator import (
+        _split_blocks_udf,
+        parse_documents,
+        parse_mentions,
+        parse_relations,
+        pubtator_blocks,
+    )
+
+    t = _t(spark, sf_dir, "documents")
+    abstracts = t["documents"].select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.lower("text").alias("text")
+    )
+    annotations = _doc_mentions(spark, sf_dir).select(
+        F.col("url").cast("string").alias("doc_id"),
+        "start", "end", "mention_text", "type",
+        F.col("mesh_id").alias("entity_id"),
+    )
+    labels = _doc_cooc(spark, sf_dir).select(
+        F.col("url").cast("string").alias("doc_id"),
+        F.col("chem_mesh").alias("gene_id"),
+        F.col("dis_mesh").alias("disease_id"),
+        F.lit(1).alias("label"),
+    )
+    docs, mentions, relations = gda_to_cdr(abstracts, annotations, labels)
+    blocks = pubtator_blocks(docs, mentions, relations).select(
+        F.explode(_split_blocks_udf(F.col("value"))).alias("lines")
+    )
+    pdocs = parse_documents(blocks)
+    pmen = parse_mentions(blocks)
+    prel = parse_relations(blocks, pmen)
+    men_n = pmen.groupBy("doc_id").agg(F.count("*").alias("n_mentions"))
+    rel_n = prel.groupBy("doc_id").agg(F.count("*").alias("n_relations"))
+    return (
+        pdocs.join(men_n, "doc_id", "left")
+        .join(rel_n, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.coalesce("n_mentions", F.lit(0)).cast("long").alias("n_mentions"),
+            F.coalesce("n_relations", F.lit(0)).cast("long").alias("n_relations"),
+            F.length("text").cast("long").alias("text_len"),
+        )
+    )
+
+
+@register(
+    "q59_gda_pairs",
+    f"""
+    WITH {_MENTIONS_CTE},
+    anns AS (
+      SELECT doc_id, start, "end",
+             CASE WHEN type = 'Chemical' THEN 'Gene' ELSE type END AS type,
+             mesh_id AS entity_id
+      FROM mentions
+      UNION ALL
+      SELECT doc_id, start, "end", 'Disease', mesh_id || 'x'
+      FROM mentions WHERE type = 'Chemical'),
+    resolved AS (
+      SELECT doc_id, type, entity_id FROM (
+        SELECT a.*, ROW_NUMBER() OVER (
+          PARTITION BY doc_id, start, "end"
+          ORDER BY CASE WHEN type = 'Gene' THEN 0 ELSE 1 END, entity_id) AS rn
+        FROM anns a)
+      WHERE rn = 1),
+    ginv AS (SELECT DISTINCT doc_id, entity_id, type FROM resolved),
+    gg AS (SELECT doc_id, COUNT(*) AS n_gene FROM ginv WHERE type = 'Gene' GROUP BY doc_id),
+    dd2 AS (SELECT doc_id, COUNT(*) AS n_dis FROM ginv WHERE type = 'Disease' GROUP BY doc_id)
+    SELECT CAST(gg.doc_id AS BIGINT) AS doc_id,
+           CAST(gg.n_gene AS BIGINT) AS n_gene,
+           CAST(dd2.n_dis AS BIGINT) AS n_dis,
+           CAST(gg.n_gene * dd2.n_dis AS BIGINT) AS n_pairs
+    FROM gg JOIN dd2 ON gg.doc_id = dd2.doc_id
+    """,
+)
+def q59(spark, sf_dir):
+    """GDA gene-disease candidate generation (gda_trainer.py:225-226:
+    the CDR pipeline with Gene in the chemical role) INCLUDING the S7
+    duplicate-span resolution: the synthesized annotation stream carries
+    a deliberate type-conflicting duplicate at every Gene span, and
+    resolve_duplicate_spans must keep exactly the Gene row (priority
+    window) before the per-doc gene x disease product is counted."""
+    from ..sources.gda import resolve_duplicate_spans
+
+    m = _doc_mentions(spark, sf_dir).select(
+        F.col("url").cast("string").alias("doc_id"),
+        "start", "end", "mention_text",
+        F.when(F.col("type") == "Chemical", "Gene").otherwise(F.col("type")).alias("type"),
+        F.col("mesh_id").alias("entity_id"),
+    )
+    conflicts = m.where(F.col("type") == "Gene").select(
+        "doc_id", "start", "end", "mention_text",
+        F.lit("Disease").alias("type"),
+        F.concat("entity_id", F.lit("x")).alias("entity_id"),
+    )
+    resolved = resolve_duplicate_spans(m.unionByName(conflicts))
+    inv = resolved.select("doc_id", "entity_id", "type").distinct()
+    g = inv.where(F.col("type") == "Gene").groupBy("doc_id").agg(F.count("*").alias("n_gene"))
+    d = inv.where(F.col("type") == "Disease").groupBy("doc_id").agg(F.count("*").alias("n_dis"))
+    return g.join(d, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_gene").cast("long").alias("n_gene"),
+        F.col("n_dis").cast("long").alias("n_dis"),
+        (F.col("n_gene") * F.col("n_dis")).cast("long").alias("n_pairs"),
+    )
+
+
+@register(
+    "q60_tacred_spans",
+    """
+    WITH rows_t AS (
+      SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS token,
+             ['per:title','org:founded','no_relation'][CAST(doc_id % 3 AS INT) + 1]
+               AS relation
+      FROM documents),
+    ok AS (SELECT * FROM rows_t WHERE LEN(token) >= 4)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, relation,
+           ARRAY_TO_STRING(token[1:2], ' ') AS subj_mention,
+           ARRAY_TO_STRING(token[3:4], ' ') AS obj_mention,
+           CAST(LEN(token) AS INTEGER) AS n_tokens
+    FROM ok
+    """,
+)
+def q60(spark, sf_dir):
+    """TACRED-shaped span extraction (S11, tacred_dataset.py:105-124):
+    token-array rows with inclusive (subj_start..subj_end) /
+    (obj_start..obj_end) spans joined back to surface mentions — the
+    transform the TACRED scan feeds downstream.  Rows are synthesized
+    deterministically from the documents table so both engines see the
+    same input."""
+    from ..sources.tacred import tacred_spans
+
+    t = _t(spark, sf_dir, "documents")
+    rows = t["documents"].select(
+        "doc_id",
+        F.split(F.lower("text"), " ").alias("token"),
+        F.element_at(
+            F.array(F.lit("per:title"), F.lit("org:founded"), F.lit("no_relation")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("relation"),
+        F.lit(0).alias("subj_start"), F.lit(1).alias("subj_end"),
+        F.lit(2).alias("obj_start"), F.lit(3).alias("obj_end"),
+    ).where(F.size("token") >= 4)
+    return tacred_spans(rows).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "relation", "subj_mention", "obj_mention",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+    )

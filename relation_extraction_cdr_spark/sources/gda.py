@@ -29,17 +29,11 @@ def read_gda_abstracts(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def read_gda_annotations(spark: SparkSession, path: str) -> DataFrame:
-    """mentions(doc_id, start, end, mention_text, type, entity_id) with the
-    duplicate-span resolution of load_anns: keep one row per
-    (doc_id, start, end), Gene rows winning over Disease on conflict
-    (deterministic priority window)."""
-    rows = (
-        spark.read.option("sep", "\t").csv(path)
-        .toDF("doc_id", "start", "end", "mention_text", "type", "entity_id")
-        .withColumn("start", F.col("start").cast("int"))
-        .withColumn("end", F.col("end").cast("int"))
-    )
+def resolve_duplicate_spans(rows: DataFrame) -> DataFrame:
+    """The S7 duplicate-span resolution of load_anns
+    (convert_gda_to_cdr.py:47-83): keep ONE row per (doc_id, start, end),
+    Gene rows winning over Disease on a type conflict, entity_id as the
+    deterministic tiebreak — a priority row_number window."""
     w = Window.partitionBy("doc_id", "start", "end").orderBy(
         F.when(F.col("type") == "Gene", 0).otherwise(1), F.col("entity_id")
     )
@@ -48,6 +42,18 @@ def read_gda_annotations(spark: SparkSession, path: str) -> DataFrame:
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def read_gda_annotations(spark: SparkSession, path: str) -> DataFrame:
+    """mentions(doc_id, start, end, mention_text, type, entity_id) with the
+    duplicate-span resolution of load_anns (resolve_duplicate_spans)."""
+    rows = (
+        spark.read.option("sep", "\t").csv(path)
+        .toDF("doc_id", "start", "end", "mention_text", "type", "entity_id")
+        .withColumn("start", F.col("start").cast("int"))
+        .withColumn("end", F.col("end").cast("int"))
+    )
+    return resolve_duplicate_spans(rows)
 
 
 def read_gda_labels(spark: SparkSession, path: str) -> DataFrame:

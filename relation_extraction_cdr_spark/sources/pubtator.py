@@ -145,9 +145,11 @@ def parse_relations(blocks: DataFrame, mentions: DataFrame) -> DataFrame:
     )
 
 
-def write_pubtator(docs: DataFrame, mentions: DataFrame, relations: DataFrame, path: str) -> None:
-    """PubTator sink (S9, convert_gda_to_cdr.py:102-113 shape): serialize
-    doc + mention + relation rows back to block text."""
+def pubtator_blocks(docs: DataFrame, mentions: DataFrame, relations: DataFrame) -> DataFrame:
+    """Serialized PubTator block per document (S9,
+    convert_gda_to_cdr.py:102-113 shape) as a DataFrame(value string) —
+    the in-memory form write_pubtator persists, and the input shape the
+    block scanner parses back (roundtrip-testable without a filesystem)."""
     doc_lines = docs.select(
         "doc_id", F.concat_ws("|", "doc_id", F.lit("a"), "text").alias("line"), F.lit(0).alias("ord")
     )
@@ -165,10 +167,14 @@ def write_pubtator(docs: DataFrame, mentions: DataFrame, relations: DataFrame, p
         F.lit(2).alias("ord"),
     )
     all_lines = doc_lines.unionByName(men_lines).unionByName(rel_lines)
-    blocks = (
+    return (
         all_lines.groupBy("doc_id")
         .agg(F.array_join(F.array_sort(F.collect_list(F.struct("ord", "line"))).line, "\n").alias("block"))
         .orderBy("doc_id")
         .select(F.concat(F.col("block"), F.lit("\n")).alias("value"))
     )
-    blocks.coalesce(1).write.mode("overwrite").text(path)
+
+
+def write_pubtator(docs: DataFrame, mentions: DataFrame, relations: DataFrame, path: str) -> None:
+    """PubTator sink: persist the serialized blocks."""
+    pubtator_blocks(docs, mentions, relations).coalesce(1).write.mode("overwrite").text(path)

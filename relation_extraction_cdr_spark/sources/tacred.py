@@ -18,3 +18,26 @@ def read_tacred(spark: SparkSession, path: str) -> DataFrame:
     if "token" in keep:
         out = out.withColumn("text", F.array_join("token", " "))
     return out
+
+
+def tacred_spans(rows: DataFrame) -> DataFrame:
+    """Span-to-mention extraction over TACRED rows (token array +
+    inclusive subj/obj index spans, tacred_dataset.py:105-124): adds
+    subj_mention / obj_mention (space-joined inclusive token slices, the
+    format the reference reconstructs text with) and n_tokens."""
+    def sl(start_col: str, end_col: str):
+        return F.array_join(
+            F.slice(
+                F.col("token"),
+                F.col(start_col) + 1,
+                F.col(end_col) - F.col(start_col) + 1,
+            ),
+            " ",
+        )
+
+    return rows.select(
+        "*",
+        sl("subj_start", "subj_end").alias("subj_mention"),
+        sl("obj_start", "obj_end").alias("obj_mention"),
+        F.size("token").alias("n_tokens"),
+    )
