@@ -134,6 +134,40 @@ def wordpiece_segments(words: DataFrame, word_col: str = "word") -> DataFrame:
     return words.mapInPandas(run, schema="word string, n_pieces int, ids_csv string")
 
 
+def sp_segments(words: DataFrame, word_col: str = "word") -> DataFrame:
+    """Per-word SentencePiece unigram segmentation as a relational
+    surface: (word, already ▁-prefixed) -> (word, n_pieces, ids_csv,
+    cost_e6) using the real wiki-ja model kernel
+    (functions/sp_unigram.py).  cost_e6 is the Viterbi path cost
+    (-logprob) in fixed-point micro-units — FLOOR(cost*1e6 + 0.5) so the
+    value is engine-exact.  Same dimension-sized contract as
+    wordpiece_segments: distinct Zipfian vocabulary, corpus consumers
+    join back instead of re-tokenizing occurrences."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.sp_unigram import viterbi
+
+        cols = ["word", "n_pieces", "ids_csv", "cost_e6"]
+        for pdf in batches:
+            out = []
+            for w in pdf[word_col]:
+                pieces, ids, logprob = viterbi(w)
+                out.append(
+                    {
+                        "word": w,
+                        "n_pieces": len(pieces),
+                        "ids_csv": ",".join(map(str, ids)),
+                        "cost_e6": int(math.floor(-logprob * 1e6 + 0.5)),
+                    }
+                )
+            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+
+    return words.mapInPandas(
+        run, schema="word string, n_pieces int, ids_csv string, cost_e6 long"
+    )
+
+
 def featurize(evidence: DataFrame, use_entity_token: bool = True, max_len: int = 512) -> DataFrame:
     """Distributed featurization over EVIDENCE_SCHEMA rows.
 

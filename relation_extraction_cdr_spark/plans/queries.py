@@ -2341,3 +2341,122 @@ def q60(spark, sf_dir):
         "relation", "subj_mention", "obj_mention",
         F.col("n_tokens").cast("int").alias("n_tokens"),
     )
+
+
+_SP_VOCAB_PATH = (
+    _Path(__file__).resolve().parent.parent / "data" / "sp_wiki_ja.tsv"
+).as_posix()
+
+_SP_MAX_WORD = 23  # incl. the ▁ prefix; bounds the DP round count
+
+
+def _sp_viterbi_cte() -> str:
+    """SQL block computing sp(word, n_pieces, ids_csv, cost_e6) for a
+    previously defined spwords(word) CTE of ▁-prefixed words (length ≤
+    _SP_MAX_WORD) — an INDEPENDENT DuckDB implementation of the unigram
+    Viterbi in functions/sp_unigram.py.
+
+    Shape: the piece table is read from the committed model TSV; a
+    candidate relation materializes every (word, pos, piece) lattice
+    node (NORMAL pieces by substring equi-join, plus the one-char <unk>
+    node with score min-10 wherever no single-char piece covers — the
+    has_single_node guard); the shortest-path DP runs as L bounded
+    Bellman-Ford relaxations (each piece consumes ≥1 char, so
+    _SP_MAX_WORD rounds reach the fixed point), pruning to the best
+    (cost, n, ids_csv) state per (word, pos) per round with exactly the
+    kernel's tie-break comparator.  All costs are float64 sums built
+    left-to-right along each path — bit-identical across engines."""
+    relax = []
+    for t in range(1, _SP_MAX_WORD + 1):
+        relax.append(f"""
+  spr{t} AS MATERIALIZED (
+    SELECT word, pos, cost, n, ids FROM (
+      SELECT word, pos, cost, n, ids,
+             ROW_NUMBER() OVER (PARTITION BY word, pos
+                                ORDER BY cost, n, ids) AS rn
+      FROM (
+        SELECT word, pos, cost, n, ids FROM spr{t - 1}
+        UNION ALL
+        SELECT r.word, r.pos + c.len, r.cost - c.score, r.n + 1,
+               CASE WHEN r.ids = '' THEN CAST(c.id AS VARCHAR)
+                    ELSE r.ids || ',' || CAST(c.id AS VARCHAR) END
+        FROM spr{t - 1} r
+        JOIN spcand c ON c.word = r.word AND c.pos = r.pos))
+    WHERE rn = 1)""")
+    relaxed = ",".join(relax)
+    return f"""
+  spvocab AS (
+    SELECT u.i - 1 AS id,
+           STRING_SPLIT(u.line, CHR(9))[1] AS piece,
+           CAST(STRING_SPLIT(u.line, CHR(9))[2] AS DOUBLE) AS score,
+           STRING_SPLIT(u.line, CHR(9))[3] AS ptype
+    FROM (
+      SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(lines) + 1),
+                    j -> STRUCT_PACK(i := j, line := lines[j]))) AS u
+      FROM (SELECT STRING_SPLIT(content, CHR(10)) AS lines
+            FROM read_text('{_SP_VOCAB_PATH}'))
+    ) WHERE u.line <> ''),
+  spnormal AS (SELECT id, piece, score, LEN(piece) AS len
+               FROM spvocab WHERE ptype = '1'),
+  spunk AS (SELECT MIN(score) - 10.0 AS score FROM spnormal),
+  sppos AS (
+    SELECT word, UNNEST(RANGE(0, LEN(word))) AS pos FROM spwords),
+  spcand AS MATERIALIZED (
+    SELECT g.word, g.pos, v.len, v.id, v.score
+    FROM (SELECT word, pos, UNNEST(RANGE(1, LEN(word) - pos + 1)) AS l
+          FROM sppos) g
+    JOIN spnormal v
+      ON v.len = g.l AND v.piece = SUBSTR(g.word, g.pos + 1, g.l)
+    UNION ALL
+    SELECT p.word, p.pos, 1, 0, (SELECT score FROM spunk)
+    FROM sppos p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM spnormal v
+      WHERE v.len = 1 AND v.piece = SUBSTR(p.word, p.pos + 1, 1))),
+  spr0 AS MATERIALIZED (
+    SELECT word, 0 AS pos, CAST(0.0 AS DOUBLE) AS cost, 0 AS n,
+           CAST('' AS VARCHAR) AS ids
+    FROM spwords),{relaxed},
+  sp AS (
+    SELECT word, n AS n_pieces, ids AS ids_csv,
+           CAST(FLOOR(cost * 1000000.0 + 0.5) AS BIGINT) AS cost_e6
+    FROM spr{_SP_MAX_WORD} WHERE pos = LEN(word))
+"""
+
+
+@register(
+    "q61_sentencepiece",
+    f"""
+    WITH
+    spwords AS (
+      SELECT DISTINCT '▁' || tok AS word FROM (
+        SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok FROM documents)
+      WHERE tok <> '' AND LEN(tok) <= {_SP_MAX_WORD - 1}),
+    {_sp_viterbi_cte()}
+    SELECT word, CAST(n_pieces AS INTEGER) AS n_pieces, ids_csv, cost_e6
+    FROM sp
+    """,
+)
+def q61(spark, sf_dir):
+    """Real-model SentencePiece unigram segmentation as a value-oracled
+    query (the reference's ALPS tokenizer: models/tokenization.py:155-194
+    / alps_trainer.py:74 over the shipped wiki-ja model): the corpus
+    vocabulary (distinct ▁-prefixed whitespace words, length-capped so
+    the oracle's DP round count is bounded) mapped to its max-likelihood
+    piece-id sequence AND the exact Viterbi path cost in micro-logprob
+    units.  The engine side runs the actual lattice kernel
+    (functions/sp_unigram.py) in one Arrow batch stage over the distinct
+    -word dimension; the oracle is an independent bounded Bellman-Ford
+    in SQL over the same committed piece table, so every id in every
+    sequence AND every path score is cross-checked."""
+    from ..operators.features import sp_segments
+
+    t = _t(spark, sf_dir, "documents")
+    words = (
+        t["documents"]
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .where((F.col("tok") != "") & (F.length("tok") <= _SP_MAX_WORD - 1))
+        .select(F.concat(F.lit("▁"), F.col("tok")).alias("word"))
+        .distinct()
+    )
+    return sp_segments(words)
