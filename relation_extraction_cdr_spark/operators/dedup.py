@@ -260,13 +260,16 @@ def connected_components(
     component is a duplicate of the others; the min id is the canonical
     representative).  Returns (v, cluster_id).
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes the minimum label among itself and its neighbors; converges in
-    O(component diameter) rounds.  Near-dup graphs are unions of small
-    quasi-cliques, so the diameter is tiny; at 10^12-doc scale each round
-    is one equi-join + one groupBy (shuffle on the node id), and the
-    driver-side loop carries only the converged/changed counter (never
-    row data).
+    Algorithm: iterative min-label propagation with pointer jumping —
+    each round every node takes the minimum label among itself and its
+    neighbors, then shortcuts ``label <- label[label]`` (the classic
+    doubling step), so convergence needs O(log diameter) rounds, not
+    O(diameter): max_iter=25 covers diameters up to ~2^25 even on
+    pathological path-shaped graphs.  Near-dup graphs are unions of
+    small quasi-cliques, so most runs converge in 2-3 rounds; at
+    10^12-doc scale each round is two equi-joins + one groupBy (shuffle
+    on the node id), and the driver-side loop carries only the
+    converged/changed counter (never row data).
 
     Lineage: each round's labels are eagerly ``localCheckpoint``-ed.  A
     plain persist is NOT enough — unpersisting inside the loop leaves the
@@ -295,11 +298,30 @@ def connected_components(
         prop = sym.join(labels, sym.src == labels.v).select(
             F.col("dst").alias("v"), "label"
         )
-        new_labels = (
+        # checkpoint BEFORE the self-join below: truncates the round's
+        # lineage as before, and sidesteps Catalyst's union-constraint
+        # rewrite bug on self-joined Union plans (NoSuchElementException
+        # in rewriteConstraints)
+        relaxed = (
             labels.unionByName(prop)
             .groupBy("v")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
+        )
+        # pointer jump: label <- label[label].  Every label value is a
+        # node id (labels start at v and only ever take mins of node
+        # ids), so the mapping join is total; label[v] <= v is invariant,
+        # so the jump is monotone and correctness-preserving while
+        # halving the remaining propagation distance.
+        new_labels = (
+            relaxed.alias("x")
+            .join(
+                relaxed.select(
+                    F.col("v").alias("lv"), F.col("label").alias("llabel")
+                ),
+                F.col("x.label") == F.col("lv"),
+            )
+            .select(F.col("x.v").alias("v"), F.col("llabel").alias("label"))
         )
         changed = (
             new_labels.alias("n")
@@ -316,12 +338,11 @@ def connected_components(
             break
     if not converged:
         # silently-partial labels would split one true component into
-        # several with no signal — refuse instead (a diameter above
-        # max_iter means the caller should raise it or switch to the
-        # doubling variant label <- min(label[label]))
+        # several with no signal — refuse instead (with pointer jumping
+        # this needs a diameter over ~2^max_iter, i.e. never in practice)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            "(component diameter exceeds max_iter)"
+            "(component diameter exceeds ~2^max_iter)"
         )
     return labels.select(F.col("v"), F.col("label").alias("cluster_id"))
 

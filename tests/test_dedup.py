@@ -137,17 +137,29 @@ def test_simhash_hamming_band_equals_bruteforce(spark, docs):
 
 
 def test_connected_components_raises_on_nonconvergence(spark):
-    """A diameter above max_iter must raise, never return partial labels
-    (silent splits would diverge from the exact recursive-CTE oracle)."""
+    """A diameter above the doubling reach must raise, never return
+    partial labels (silent splits would diverge from the exact
+    recursive-CTE oracle)."""
     import pytest
 
-    chain = [(i, i + 1) for i in range(6)]
+    chain = [(i, i + 1) for i in range(60)]
     df = spark.createDataFrame(chain, "a long, b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         DD.connected_components(df, max_iter=2)
     # and with enough rounds the same chain converges to one component
     labels = {r["cluster_id"] for r in DD.connected_components(df, max_iter=10).collect()}
     assert labels == {0}
+
+
+def test_connected_components_long_path_doubles(spark):
+    """Pointer jumping: a 120-edge path (diameter 120) converges within
+    the default max_iter=25 — pure min-label propagation would need 120
+    rounds and previously raised on exactly this shape."""
+    chain = [(i, i + 1) for i in range(120)]
+    df = spark.createDataFrame(chain, "a long, b long")
+    rows = DD.connected_components(df).collect()
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert len(rows) == 121
 
 
 def test_strip_boilerplate_semantics(spark):
