@@ -308,12 +308,29 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
+        changed = (
+            relaxed.alias("n")
+            .join(labels.alias("o"), "v")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        if changed == 0:
+            # stable under relax == the CC fixed point; return the
+            # checkpointed relax result so consumers see a clean RDD
+            # scan (no residual join lineage)
+            labels = relaxed
+            converged = True
+            break
         # pointer jump: label <- label[label].  Every label value is a
         # node id (labels start at v and only ever take mins of node
         # ids), so the mapping join is total; label[v] <= v is invariant,
         # so the jump is monotone and correctness-preserving while
-        # halving the remaining propagation distance.
-        new_labels = (
+        # halving the remaining propagation distance.  The jumped frame
+        # only feeds the NEXT round (whose relax re-checkpoints), so
+        # lineage stays flat without a second checkpoint per round.
+        # The superseded round's checkpointed partitions are freed by
+        # the ContextCleaner once this reference drops.
+        labels = (
             relaxed.alias("x")
             .join(
                 relaxed.select(
@@ -323,19 +340,6 @@ def connected_components(
             )
             .select(F.col("x.v").alias("v"), F.col("llabel").alias("label"))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        # the superseded round's checkpointed partitions are freed by the
-        # ContextCleaner once this reference drops (lineage was truncated,
-        # so nothing downstream pins them)
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
     if not converged:
         # silently-partial labels would split one true component into
         # several with no signal — refuse instead (with pointer jumping
