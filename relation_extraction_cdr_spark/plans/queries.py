@@ -2460,3 +2460,142 @@ def q61(spark, sf_dir):
         .distinct()
     )
     return sp_segments(words)
+
+
+@register(
+    "q62_repetition_signals",
+    """
+    WITH dw AS (
+      SELECT doc_id, LOWER(text) AS lt,
+             LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS w
+      FROM documents),
+    base AS (
+      SELECT doc_id, lt, w, LEN(w) AS n_words, LENGTH(lt) AS n_chars
+      FROM dw WHERE LEN(w) > 0),
+    uw AS (
+      SELECT doc_id, COUNT(DISTINCT u.tok) AS n_distinct
+      FROM (SELECT doc_id, UNNEST(w) AS tok FROM base) u(doc_id, tok)
+      GROUP BY doc_id),
+    bg AS (
+      SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)),
+                     i -> w[i] || ' ' || w[i + 1])) AS gram
+      FROM base WHERE LEN(w) >= 2),
+    bgc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM bg GROUP BY doc_id, gram),
+    topbg AS (
+      SELECT doc_id, gram AS top_bigram, cnt AS top_cnt FROM (
+        SELECT doc_id, gram, cnt,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, gram) AS rn
+        FROM bgc) WHERE rn = 1),
+    fg AS (
+      SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w) - 3),
+                     i -> ARRAY_TO_STRING(w[i:i+4], ' '))) AS gram
+      FROM base WHERE LEN(w) >= 5),
+    fgc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM fg GROUP BY doc_id, gram),
+    dup5 AS (
+      SELECT doc_id, SUM(cnt * LENGTH(gram)) AS dup_chars
+      FROM fgc WHERE cnt > 1 GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.n_words AS INTEGER) AS n_words,
+           ROUND(1.0 - uw.n_distinct / b.n_words, 4) AS dup_word_frac,
+           COALESCE(t.top_bigram, '') AS top_bigram,
+           ROUND(COALESCE(t.top_cnt * LENGTH(t.top_bigram), 0)
+                 / b.n_chars, 4) AS top_bigram_frac,
+           ROUND(COALESCE(d.dup_chars, 0) / b.n_chars, 4) AS dup_5gram_frac
+    FROM base b
+    LEFT JOIN uw ON uw.doc_id = b.doc_id
+    LEFT JOIN topbg t ON t.doc_id = b.doc_id
+    LEFT JOIN dup5 d ON d.doc_id = b.doc_id
+    """,
+)
+def q62(spark, sf_dir):
+    """Gopher-style repetition signals (Rae et al. 2021 quality filters,
+    the standard webtext curation pass): per-document duplicate-word
+    fraction, the most-frequent word bigram and the fraction of
+    characters it covers, and the fraction of characters inside
+    duplicated word 5-grams.  Contracts (identical on both sides):
+    words = non-empty LOWER split on ' '; coverage = occurrence count x
+    gram string length over LOWER(text) length; top-bigram ties break to
+    the lexicographically smallest gram.  All-JVM: array zip_with /
+    transform n-gram builders, one explode + groupBy per gram family
+    keyed by (doc_id, gram) — shuffle-bounded, no UDF."""
+    t = _t(spark, sf_dir, "documents")
+    base = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.lower("text").alias("lt"),
+            F.filter(F.split(F.lower("text"), " "), lambda w: w != "").alias("w"),
+        )
+        .where(F.size("w") > 0)
+        .select(
+            "doc_id", "w",
+            F.size("w").alias("n_words"),
+            F.length("lt").alias("n_chars"),
+        )
+        .persist()
+    )
+    uw = base.select(
+        "doc_id", F.size(F.array_distinct("w")).alias("n_distinct")
+    )
+    bg = (
+        base.where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("w", 1, F.size("w") - 1),
+                    F.slice("w", 2, F.size("w") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wtop = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
+    topbg = (
+        bg.withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("gram").alias("top_bigram"), F.col("cnt").alias("top_cnt"))
+    )
+    fg = (
+        base.where(F.size("w") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 4),
+                    lambda i: F.array_join(F.slice("w", i, 5), " "),
+                )
+            ).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dup5 = (
+        fg.where(F.col("cnt") > 1)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.length("gram")).alias("dup_chars"))
+    )
+    return (
+        base.join(uw, "doc_id", "left")
+        .join(topbg, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("int").alias("n_words"),
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_words"), 4
+            ).alias("dup_word_frac"),
+            F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+            F.round(
+                F.coalesce(F.col("top_cnt") * F.length("top_bigram"), F.lit(0))
+                / F.col("n_chars"),
+                4,
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.coalesce("dup_chars", F.lit(0)) / F.col("n_chars"), 4
+            ).alias("dup_5gram_frac"),
+        )
+    )
