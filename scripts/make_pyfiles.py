@@ -13,8 +13,15 @@ def main() -> None:
     dist.mkdir(exist_ok=True)
     out = dist / "engine.zip"
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
-        for p in sorted((REPO / "relation_extraction_cdr_spark").rglob("*.py")):
-            z.write(p, p.relative_to(REPO))
+        # code + the tokenizer model data files: executors resolve the
+        # vocab/piece tables through importlib.resources when the plain
+        # filesystem path is absent (the zipimport branch of
+        # functions/wordpiece.py and functions/sp_unigram.py)
+        pkg = REPO / "relation_extraction_cdr_spark"
+        for pattern in ("*.py", "data/*"):
+            for p in sorted(pkg.rglob(pattern)):
+                if p.is_file():
+                    z.write(p, p.relative_to(REPO))
     print(out)
 
 
