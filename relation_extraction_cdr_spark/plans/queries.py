@@ -2599,3 +2599,141 @@ def q62(spark, sf_dir):
             ).alias("dup_5gram_frac"),
         )
     )
+
+
+@register(
+    "q63_corpus_token_counts",
+    f"""
+    WITH RECURSIVE
+    docwords AS (
+      SELECT doc_id, tok AS word FROM (
+        SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+        FROM documents)
+      WHERE tok <> ''),
+    wpwords AS (SELECT DISTINCT word FROM docwords),
+    {{wp_cte}}
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(wp.n_pieces) AS BIGINT) AS n_tokens
+    FROM docwords d JOIN wp ON wp.word = d.word
+    GROUP BY d.doc_id
+    """.format(wp_cte=_wordpiece_cte()),
+)
+def q63(spark, sf_dir):
+    """Corpus token accounting with the REAL tokenizer (the number every
+    training-data pipeline budgets by): per-document word and WordPiece
+    token counts.  The Zipf trick makes this scale-shaped — the
+    expensive kernel runs ONCE per distinct word (a broadcast-sized
+    dimension), and the corpus-side cost is an explode + broadcast join
+    + groupBy(doc_id); re-tokenizing every occurrence would be O(corpus)
+    kernel calls instead of O(vocabulary)."""
+    from ..operators.features import wordpiece_segments
+
+    t = _t(spark, sf_dir, "documents")
+    docwords = (
+        t["documents"]
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    dim = wordpiece_segments(docwords.select("word").distinct())
+    return (
+        docwords.join(F.broadcast(dim.select("word", "n_pieces")), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "q64_token_packing",
+    f"""
+    WITH RECURSIVE
+    docwords AS (
+      SELECT doc_id, tok AS word FROM (
+        SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+        FROM documents)
+      WHERE tok <> ''),
+    wpwords AS (SELECT DISTINCT word FROM docwords),
+    {{wp_cte}}
+    , doctoks AS (
+      SELECT d.doc_id, SUM(wp.n_pieces) AS n_tokens
+      FROM docwords d JOIN wp ON wp.word = d.word
+      GROUP BY d.doc_id),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         ) / 512.0) AS BIGINT) AS pack_id
+      FROM doctoks)
+    SELECT COALESCE(pack_id, 0) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc
+    FROM packed GROUP BY 1
+    """.format(wp_cte=_wordpiece_cte()),
+)
+def q64(spark, sf_dir):
+    """Deterministic sequence packing for training (GPT-style document
+    packing, 512-token budget): docs in doc_id order are assigned
+    pack_id = floor(preceding-cumulative-tokens / 512) — the
+    split-allowing packing contract whose prefix sum is a single window
+    over a global sort (at 100 TB: range-partitioned sort; the
+    alternative first-fit-with-reset is inherently sequential state and
+    deliberately NOT the contract).  Token counts come from the real
+    WordPiece dimension (q63's Zipf trick).  Output is per-pack
+    accounting (size, token mass, first doc)."""
+    from ..operators.features import wordpiece_segments
+
+    t = _t(spark, sf_dir, "documents")
+    docwords = (
+        t["documents"]
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    dim = wordpiece_segments(docwords.select("word").distinct())
+    doctoks = (
+        docwords.join(F.broadcast(dim.select("word", "n_pieces")), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_pieces").alias("n_tokens"))
+    )
+    # distributed prefix sum (the 100 TB shape): an UNPARTITIONED window
+    # would funnel every row through one task.  Instead: range-partition
+    # by doc_id (contiguous sorted ranges, partition id = range order),
+    # take a partition-LOCAL running sum, and add the broadcast
+    # cumulative offset of all earlier partitions — the global prefix
+    # sum exactly, with only the per-partition totals (one row each)
+    # crossing a single-task window.
+    parts = doctoks.repartitionByRange(32, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wlocal = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = parts.withColumn(
+        "local_prefix", F.coalesce(F.sum("n_tokens").over(wlocal), F.lit(0))
+    )
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        parts.groupBy("pid")
+        .agg(F.sum("n_tokens").alias("part_total"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("part_total").over(woff), F.lit(0)).alias("offset"),
+        )
+    )
+    packed = local.join(F.broadcast(offsets), "pid").select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.col("offset") + F.col("local_prefix")) / 512.0)
+        .cast("long")
+        .alias("pack_id"),
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
