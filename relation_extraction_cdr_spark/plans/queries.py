@@ -2737,3 +2737,90 @@ def q64(spark, sf_dir):
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+def _pagerank_cte(iters: int = 5) -> str:
+    """SQL block computing pr{iters}(v, pr) over edges/nodes/deg CTEs —
+    the integer-exact PageRank DP (all BIGINT // arithmetic, so every
+    value is engine-exact; no float summation-order hazard)."""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f"""
+  pr{t} AS MATERIALIZED (
+    SELECT n.v,
+           CAST((15 * (1000000000 // (SELECT n FROM nn))
+                 + 85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS pr
+    FROM nodes n LEFT JOIN (
+      SELECT e.dst AS v, SUM(p.pr // d.deg) AS inflow
+      FROM edges e
+      JOIN pr{t - 1} p ON p.v = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst) i ON i.v = n.v)""")
+    return ",".join(steps)
+
+
+@register(
+    "q65_pagerank",
+    f"""
+    WITH {_PAIRS_CTE},
+    triples AS (
+      SELECT chem_mesh AS subj, dis_mesh AS obj
+      FROM cooc GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    edges AS MATERIALIZED (
+      SELECT subj AS src, obj AS dst FROM triples
+      UNION
+      SELECT obj, subj FROM triples),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    pr0 AS MATERIALIZED (
+      SELECT v, CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS pr
+      FROM nodes),
+    {_pagerank_cte(5)}
+    SELECT v AS entity, pr AS pr_e9 FROM pr5
+    """,
+)
+def q65(spark, sf_dir):
+    """PageRank over the KG (graph-analytics extension): 5 fixed
+    iterations on the undirected triple graph (q30's subj/obj pairs,
+    both directions), damping 0.85.  All arithmetic is BIGINT nano-rank
+    units with integer division — pr' = (15*base + 85*inflow) DIV 100,
+    inflow = sum(pr DIV out_degree) — so the result is engine-exact and
+    value-oracled (float PageRank would differ by summation order).
+    Scale shape: each iteration is one equi-join on src + one groupBy
+    on dst (shuffle-bounded, no driver data); labels localCheckpoint
+    per round exactly like connected_components; the node count (the
+    only driver scalar) is the bounded entity space."""
+    triples = QUERIES["q30_cdr_triples"](spark, sf_dir)
+    edges = (
+        triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .unionByName(
+            triples.select(F.col("obj").alias("src"), F.col("subj").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("src").alias("v")).distinct().localCheckpoint()
+    n = nodes.count()
+    base = 10**9 // n
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    pr = nodes.withColumn("pr", F.lit(base).cast("long"))
+    for _ in range(5):
+        inflow = (
+            edges.join(pr.withColumnRenamed("v", "src"), "src")
+            .join(deg, "src")
+            .select("dst", F.expr("pr DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        pr = (
+            nodes.join(inflow.withColumnRenamed("dst", "v"), "v", "left")
+            .select(
+                "v",
+                F.expr(
+                    f"CAST((15 * {base}L + 85 * coalesce(inflow, 0L)) DIV 100 AS LONG)"
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr.select(F.col("v").alias("entity"), F.col("pr").alias("pr_e9"))
