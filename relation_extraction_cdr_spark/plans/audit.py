@@ -181,6 +181,29 @@ EXPECTATIONS: dict[str, dict[str, tuple[str, int]]] = {
     "q42_neardup_clusters": {"exchanges": ("<=", 2), "sort_merge_joins": ("==", 0)},
     # quantiles: one wide agg with map-side partials
     "q45_length_quantiles": {"exchanges": ("<=", 1), "partial_aggs": (">=", 1)},
+    # SP segmentation: the kernel runs over the distinct-word dimension
+    # behind ONE shuffle (the distinct); no join in the plan at all
+    "q61_sentencepiece": {"exchanges": ("<=", 1), "sort_merge_joins": ("==", 0)},
+    # repetition signals: gram families aggregate with map-side partials
+    # and every per-doc join back is broadcast
+    "q62_repetition_signals": {
+        "partial_aggs": (">=", 3),
+        "sort_merge_joins": ("==", 0),
+    },
+    # token accounting: the word->n_pieces dimension MUST broadcast —
+    # a shuffle join here would move the exploded corpus word stream
+    "q63_corpus_token_counts": {
+        "broadcast_hash_joins": (">=", 1),
+        "sort_merge_joins": ("==", 0),
+        "exchanges": ("<=", 3),
+    },
+    "q64_token_packing": {
+        "broadcast_hash_joins": (">=", 2),
+        "sort_merge_joins": ("==", 0),
+    },
+    # pagerank returns a checkpoint-backed frame: the consumer plan is a
+    # stored-partition scan, not the 5-round iterative history
+    "q65_pagerank": {"exchanges": ("==", 0), "sort_merge_joins": ("==", 0)},
 }
 
 _OPS = {
