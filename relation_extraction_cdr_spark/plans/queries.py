@@ -2824,3 +2824,107 @@ def q65(spark, sf_dir):
             .localCheckpoint()
         )
     return pr.select(F.col("v").alias("entity"), F.col("pr").alias("pr_e9"))
+
+
+@register(
+    "q66_word_rank_quality",
+    """
+    WITH docwords AS (
+      SELECT doc_id, tok AS word FROM (
+        SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+        FROM documents)
+      WHERE tok <> ''),
+    freq AS (
+      SELECT word, COUNT(*) AS cnt FROM docwords GROUP BY word),
+    ranked AS (
+      SELECT word, DENSE_RANK() OVER (ORDER BY cnt DESC, word) AS rnk
+      FROM freq)
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(CAST(SUM(r.rnk) AS DECIMAL(38,6)) / COUNT(*)
+                AS DECIMAL(38,6)) AS mean_rank,
+           CAST(MAX(r.rnk) AS BIGINT) AS max_rank
+    FROM docwords d JOIN ranked r ON r.word = d.word
+    GROUP BY d.doc_id
+    """,
+)
+def q66(spark, sf_dir):
+    """CCNet-style corpus-relative quality score, rank-exact: corpus
+    words are dense-ranked by frequency (ties broken by word), and each
+    document scores its mean and max word rank — rare-vocabulary-heavy
+    documents rank high, boilerplate-heavy ones low.  Integer ranks +
+    DECIMAL mean keep the score engine-exact (a -log-frequency LM score
+    would diverge at libm precision).  Scale shape: the rank table is a
+    Zipf-bounded dimension (one groupBy + one window over distinct
+    words) broadcast back to the exploded corpus stream."""
+    t = _t(spark, sf_dir, "documents")
+    docwords = (
+        t["documents"]
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    freq = docwords.groupBy("word").agg(F.count("*").alias("cnt"))
+    ranked = freq.select(
+        "word",
+        F.dense_rank()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("word")))
+        .alias("rnk"),
+    )
+    return (
+        docwords.join(F.broadcast(ranked), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            (F.sum("rnk").cast("decimal(38,6)") / F.count("*"))
+            .cast("decimal(38,6)")
+            .alias("mean_rank"),
+            F.max("rnk").cast("long").alias("max_rank"),
+        )
+    )
+
+
+@register(
+    "q67_source_mixture",
+    """
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                    w -> w <> ''))) AS BIGINT) AS n_words,
+           CAST(COUNT(DISTINCT MD5(text)) AS BIGINT) AS n_unique,
+           CAST(CAST(COUNT(*) - COUNT(DISTINCT MD5(text)) AS DECIMAL(38,6))
+                / COUNT(*) AS DECIMAL(38,6)) AS dup_rate,
+           CAST(CAST(SUM(n_chars) AS DECIMAL(38,6)) / COUNT(*)
+                AS DECIMAL(38,6)) AS mean_chars
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def q67(spark, sf_dir):
+    """The data-mixing table: per (source, lang) corpus accounting —
+    document and word mass, exact-duplicate rate (md5 fingerprints),
+    mean document length — the statistics a training-mixture designer
+    weights sources by.  One partial-agg groupBy over the corpus; the
+    output is dimension-sized."""
+    t = _t(spark, sf_dir, "documents")
+    return (
+        t["documents"]
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                F.size(F.filter(F.split(F.lower("text"), " "), lambda w: w != ""))
+            )
+            .cast("long")
+            .alias("n_words"),
+            F.countDistinct(F.md5("text")).cast("long").alias("n_unique"),
+            (
+                (F.count("*") - F.countDistinct(F.md5("text"))).cast("decimal(38,6)")
+                / F.count("*")
+            )
+            .cast("decimal(38,6)")
+            .alias("dup_rate"),
+            (F.sum("n_chars").cast("decimal(38,6)") / F.count("*"))
+            .cast("decimal(38,6)")
+            .alias("mean_chars"),
+        )
+    )
