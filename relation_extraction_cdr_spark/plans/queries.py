@@ -2836,9 +2836,10 @@ def q65(spark, sf_dir):
       WHERE tok <> ''),
     freq AS (
       SELECT word, COUNT(*) AS cnt FROM docwords GROUP BY word),
-    ranked AS (
-      SELECT word, DENSE_RANK() OVER (ORDER BY cnt DESC, word) AS rnk
-      FROM freq)
+    cnts AS (
+      SELECT cnt, DENSE_RANK() OVER (ORDER BY cnt DESC) AS rnk
+      FROM (SELECT DISTINCT cnt FROM freq)),
+    ranked AS (SELECT f.word, c.rnk FROM freq f JOIN cnts c ON c.cnt = f.cnt)
     SELECT d.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(CAST(SUM(r.rnk) AS DECIMAL(38,6)) / COUNT(*)
@@ -2850,8 +2851,8 @@ def q65(spark, sf_dir):
 )
 def q66(spark, sf_dir):
     """CCNet-style corpus-relative quality score, rank-exact: corpus
-    words are dense-ranked by frequency (ties broken by word), and each
-    document scores its mean and max word rank — rare-vocabulary-heavy
+    words take the dense rank of their frequency (equal-frequency words
+    share a rank), and each document scores its mean and max word rank — rare-vocabulary-heavy
     documents rank high, boilerplate-heavy ones low.  Integer ranks +
     DECIMAL mean keep the score engine-exact (a -log-frequency LM score
     would diverge at libm precision).  Scale shape: the rank table is a
@@ -2864,12 +2865,16 @@ def q66(spark, sf_dir):
         .where(F.col("word") != "")
     )
     freq = docwords.groupBy("word").agg(F.count("*").alias("cnt"))
-    ranked = freq.select(
-        "word",
-        F.dense_rank()
-        .over(Window.orderBy(F.desc("cnt"), F.asc("word")))
-        .alias("rnk"),
+    # rank DISTINCT counts, not words: the count-value table is tiny
+    # (Zipf mass collapses counts to O(sqrt(corpus))), so the only
+    # global window runs over a broadcast-sized input and the word
+    # dimension gets its rank by broadcast join — no 10^8-row window
+    cnts = (
+        freq.select("cnt")
+        .distinct()
+        .select("cnt", F.dense_rank().over(Window.orderBy(F.desc("cnt"))).alias("rnk"))
     )
+    ranked = freq.join(F.broadcast(cnts), "cnt").select("word", "rnk")
     return (
         docwords.join(F.broadcast(ranked), "word")
         .groupBy("doc_id")
