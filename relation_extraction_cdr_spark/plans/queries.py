@@ -2933,3 +2933,97 @@ def q67(spark, sf_dir):
             .alias("mean_chars"),
         )
     )
+
+
+@register(
+    "q68_neardup_triangles",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+      FROM shingles x JOIN shingles y USING (shingle)
+      WHERE x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id),
+    pairs AS (
+      SELECT a, b FROM (
+        SELECT a, b, i / (sa.n + sb.n - i) AS j
+        FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+      WHERE j >= 0.2)
+    SELECT e1.a AS a, e1.b AS b, e2.b AS c
+    FROM pairs e1
+    JOIN pairs e2 ON e2.a = e1.b
+    JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def q68(spark, sf_dir):
+    """Triangle enumeration on the near-dup graph (a structural dedup
+    signal: triangles are the clique cores LSH clusters condense
+    around).  Edges are the exact Jaccard pairs (q24 contract); the
+    operator orients every edge from its lower-(degree, id) endpoint —
+    the standard O(m^1.5) wedge-bounding trick, so a web-scale hub
+    never fans out its full neighborhood — then closes wedges with one
+    equi-join.  Orientation changes only WHERE wedges pivot, never the
+    triangle set, so the output (a < b < c by doc id) hash-matches the
+    simple id-ordered SQL oracle."""
+    t = _t(spark, sf_dir, "documents")
+    pairs = DD.jaccard_pairs(DD.word_shingles(t["documents"]), threshold=0.2).select(
+        "a", "b"
+    )
+    deg = (
+        pairs.select(F.col("a").alias("v"))
+        .unionByName(pairs.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    e = (
+        pairs.join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("v"), F.col("da").alias("d")),
+            )
+            .otherwise(F.struct(F.col("b").alias("v"), F.col("db").alias("d")))
+            .alias("lo"),
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("b").alias("v"), F.col("db").alias("d")),
+            )
+            .otherwise(F.struct(F.col("a").alias("v"), F.col("da").alias("d")))
+            .alias("hi"),
+        )
+        .select(
+            F.col("lo.v").alias("src"),
+            F.col("hi.v").alias("dst"),
+            F.col("lo.d").alias("sd"),
+            F.col("hi.d").alias("dd"),
+        )
+        .localCheckpoint()
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (
+            (F.col("e1.dd") < F.col("e2.dd"))
+            | ((F.col("e1.dd") == F.col("e2.dd")) & (F.col("e1.dst") < F.col("e2.dst")))
+        ),
+    )
+    tri = wedges.join(
+        e3,
+        (F.col("e3.src") == F.col("e1.dst")) & (F.col("e3.dst") == F.col("e2.dst")),
+    ).select(
+        F.col("e1.src").alias("x"), F.col("e1.dst").alias("y"), F.col("e2.dst").alias("z")
+    )
+    return tri.select(
+        F.least("x", "y", "z").alias("a"),
+        F.expr(
+            "CASE WHEN (x > least(x,y,z) AND x < greatest(x,y,z)) THEN x "
+            "WHEN (y > least(x,y,z) AND y < greatest(x,y,z)) THEN y ELSE z END"
+        ).alias("b"),
+        F.greatest("x", "y", "z").alias("c"),
+    )
