@@ -3027,3 +3027,89 @@ def q68(spark, sf_dir):
         ).alias("b"),
         F.greatest("x", "y", "z").alias("c"),
     )
+
+
+def _hll_nib(col: str, pos: int) -> str:
+    """DuckDB hex-nibble extractor (the _simhash_cte pattern)."""
+    return f"(STRPOS('0123456789abcdef', SUBSTR({col}, {pos}, 1)) - 1)"
+
+
+@register(
+    "q69_hll_registers",
+    f"""
+    WITH h AS (
+      SELECT event_type, MD5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+    hv AS (
+      SELECT event_type,
+             {_hll_nib('hx', 1)} * 16 + {_hll_nib('hx', 2)} AS bucket,
+             {' + '.join(f"{_hll_nib('hx', i + 3)} * {1 << (4 * (7 - i))}" for i in range(8))}
+               AS val
+      FROM h),
+    regs AS (
+      SELECT event_type, bucket,
+             MAX(CASE WHEN val = 0 THEN 33
+                      ELSE 32 - LENGTH(BIN(val)) + 1 END) AS rho
+      FROM hv GROUP BY event_type, bucket),
+    agg AS (
+      SELECT event_type,
+             COUNT(*) AS m_used,
+             SUM(1::BIGINT << (33 - rho)) AS s2_used
+      FROM regs GROUP BY event_type)
+    SELECT event_type,
+           CAST(m_used AS INTEGER) AS m_used,
+           CAST(s2_used + (256 - m_used) * (1::BIGINT << 33) AS BIGINT) AS s2
+    FROM agg
+    """,
+)
+def q69(spark, sf_dir):
+    """Engine-exact HyperLogLog register sketch (approx distinct — THE
+    100 TB cardinality operator): users are hashed with md5, the first
+    byte picks one of m=256 registers, the next 32 bits give the
+    leading-zero rank rho (position of the first 1-bit; 33 for an
+    all-zero tail), and each group keeps max(rho) per register — one
+    partial-agg groupBy, mergeable across any partitioning, 256 longs
+    of state per group no matter the cardinality.  Output is the exact
+    fixed-point register mass S2 = sum over all m registers of
+    2^(33-rho) (empty registers contribute 2^33), from which the HLL
+    estimate is alpha_256 * m^2 * 2^33 / S2 — the registers and S2 are
+    integer-exact on both engines (a float harmonic mean would drift by
+    summation order); tests/test_queries_extra.py checks the estimate
+    lands within HLL's error envelope of the true distinct."""
+    t = _t(spark, sf_dir, "events")
+    hv = t["events"].select(
+        "event_type",
+        F.expr("conv(substr(md5(CAST(user_id AS STRING)), 1, 2), 16, 10)")
+        .cast("int")
+        .alias("bucket"),
+        F.expr("conv(substr(md5(CAST(user_id AS STRING)), 3, 8), 16, 10)")
+        .cast("long")
+        .alias("val"),
+    )
+    regs = (
+        hv.select(
+            "event_type",
+            "bucket",
+            F.when(F.col("val") == 0, F.lit(33))
+            .otherwise(F.lit(32) - F.length(F.bin("val")) + 1)
+            .alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    return (
+        regs.groupBy("event_type")
+        .agg(
+            F.count("*").cast("int").alias("m_used"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 33 - rho)")).alias("s2_used"),
+        )
+        .select(
+            "event_type",
+            "m_used",
+            (
+                F.col("s2_used")
+                + (F.lit(256) - F.col("m_used")).cast("long") * F.lit(1 << 33)
+            )
+            .cast("long")
+            .alias("s2"),
+        )
+    )

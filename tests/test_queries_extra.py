@@ -1,0 +1,35 @@
+"""Semantic checks beyond oracle hash-parity for round-2 queries."""
+
+from __future__ import annotations
+
+import math
+
+from relation_extraction_cdr_spark.plans.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_hll_estimate_within_error_envelope(spark):
+    """The q69 register sketch must actually estimate: reconstructing
+    the HLL estimate from the exact S2 mass lands within the m=256
+    error envelope (1.04/sqrt(256) = 6.5% standard error; assert 3x)
+    of the true per-group distinct count, with the standard
+    linear-counting correction in the small range."""
+    rows = {r["event_type"]: r for r in QUERIES["q69_hll_registers"](spark, SF_DIR).collect()}
+    truth = {
+        r["event_type"]: r["n"]
+        for r in spark.sql(
+            "SELECT event_type, COUNT(DISTINCT user_id) AS n FROM events GROUP BY event_type"
+        ).collect()
+    }
+    assert rows.keys() == truth.keys() and rows
+    m = 256
+    alpha = 0.7213 / (1 + 1.079 / m)
+    for et, r in rows.items():
+        s = r["s2"] / float(1 << 33)  # exact register mass sum(2^-rho)
+        est = alpha * m * m / s
+        zeros = m - r["m_used"]
+        if est <= 2.5 * m and zeros:
+            est = m * math.log(m / zeros)  # linear counting small-range fix
+        true = truth[et]
+        assert abs(est - true) / true <= 3 * 1.04 / math.sqrt(m), (et, est, true)
