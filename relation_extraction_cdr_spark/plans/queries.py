@@ -3113,3 +3113,77 @@ def q69(spark, sf_dir):
             .alias("s2"),
         )
     )
+
+
+@register(
+    "q70_countmin_heavy_hitters",
+    f"""
+    WITH docwords AS (
+      SELECT tok AS word FROM (
+        SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok FROM documents)
+      WHERE tok <> ''),
+    freq AS (SELECT word, COUNT(*) AS cnt FROM docwords GROUP BY word),
+    keyed AS (
+      SELECT word, cnt, lane,
+             ({' + '.join(f"{_hll_nib('hx', i + 1)} * {1 << (4 * (7 - i))}" for i in range(8))}) % 1024 AS col
+      FROM (
+        SELECT word, cnt, lane, MD5('cm' || lane || '|' || word) AS hx
+        FROM freq, UNNEST([0, 1, 2, 3]) AS u(lane))),
+    sketch AS (
+      SELECT lane, col, SUM(cnt) AS counter
+      FROM keyed GROUP BY lane, col),
+    est AS (
+      SELECT k.word, MAX(k.cnt) AS true_cnt, MIN(s.counter) AS est_cnt
+      FROM keyed k JOIN sketch s ON s.lane = k.lane AND s.col = k.col
+      GROUP BY k.word)
+    SELECT word, CAST(est_cnt AS BIGINT) AS est_cnt,
+           CAST(true_cnt AS BIGINT) AS true_cnt
+    FROM est WHERE est_cnt >= 200
+    """,
+)
+def q70(spark, sf_dir):
+    """Count-min sketch heavy hitters (with Bloom q54 and HLL q69 this
+    completes the classic 100 TB sketch trio): word counts are folded
+    into a 4-lane x 1024-column counter grid (md5 column choice, one
+    partial-agg groupBy — the sketch is ~4 KB of mergeable state no
+    matter the corpus), and a word's estimate is the MIN over its four
+    counters, never below the true count (overestimate-only, asserted
+    in tests).  The heavy-hitter pass joins candidates back against the
+    broadcast-sized sketch.  All integer arithmetic — engine-exact."""
+    t = _t(spark, sf_dir, "documents")
+    freq = (
+        t["documents"]
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    keyed = freq.select(
+        "word",
+        "cnt",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("lane"),
+    ).select(
+        "word",
+        "cnt",
+        "lane",
+        (
+            F.expr(
+                "CAST(conv(substr(md5(concat('cm', lane, '|', word)), 1, 8), 16, 10) AS BIGINT)"
+            )
+            % 1024
+        ).alias("col"),
+    )
+    sketch = keyed.groupBy("lane", "col").agg(F.sum("cnt").alias("counter"))
+    est = (
+        keyed.join(F.broadcast(sketch), ["lane", "col"])
+        .groupBy("word")
+        .agg(
+            F.max("cnt").alias("true_cnt"),
+            F.min("counter").alias("est_cnt"),
+        )
+    )
+    return est.where(F.col("est_cnt") >= 200).select(
+        "word",
+        F.col("est_cnt").cast("long").alias("est_cnt"),
+        F.col("true_cnt").cast("long").alias("true_cnt"),
+    )

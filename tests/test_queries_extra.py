@@ -33,3 +33,21 @@ def test_hll_estimate_within_error_envelope(spark):
             est = m * math.log(m / zeros)  # linear counting small-range fix
         true = truth[et]
         assert abs(est - true) / true <= 3 * 1.04 / math.sqrt(m), (et, est, true)
+
+
+def test_countmin_never_underestimates(spark):
+    """CM property: est >= true for every reported word, and every true
+    heavy hitter is reported (no false negatives by construction)."""
+    rows = QUERIES["q70_countmin_heavy_hitters"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["est_cnt"] >= r["true_cnt"], r
+    true_heavy = {
+        r["w"]
+        for r in spark.sql(
+            "SELECT w, COUNT(*) c FROM (SELECT explode(split(lower(text), ' ')) w "
+            "FROM documents) WHERE w <> '' GROUP BY w HAVING COUNT(*) >= 200"
+        ).collect()
+    }
+    reported = {r["word"] for r in rows}
+    assert true_heavy <= reported
