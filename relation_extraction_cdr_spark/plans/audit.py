@@ -204,6 +204,26 @@ EXPECTATIONS: dict[str, dict[str, tuple[str, int]]] = {
     # pagerank returns a checkpoint-backed frame: the consumer plan is a
     # stored-partition scan, not the 5-round iterative history
     "q65_pagerank": {"exchanges": ("==", 0), "sort_merge_joins": ("==", 0)},
+    # word-rank: the count-rank dimension joins back by broadcast —
+    # never a shuffle of the exploded corpus word stream
+    "q66_word_rank_quality": {
+        "broadcast_hash_joins": (">=", 2),
+        "sort_merge_joins": ("==", 0),
+        "partial_aggs": (">=", 3),
+    },
+    # mixture table: one distinct-agg groupBy (expand -> two phases)
+    "q67_source_mixture": {"exchanges": ("<=", 2), "partial_aggs": (">=", 1)},
+    # triangles: the oriented-edge self-joins are legitimately wide
+    # (edge set is corpus-sized) but must stay equi-joins, never a
+    # product, and the checkpointed edge frame bounds the exchanges
+    "q68_neardup_triangles": {"exchanges": ("<=", 4)},
+    # sketches: pure partial-agg pipelines; HLL never broadcasts corpus
+    "q69_hll_registers": {"exchanges": ("<=", 2), "partial_aggs": (">=", 2)},
+    "q70_countmin_heavy_hitters": {
+        "broadcast_hash_joins": (">=", 1),
+        "sort_merge_joins": ("==", 0),
+        "partial_aggs": (">=", 3),
+    },
 }
 
 _OPS = {

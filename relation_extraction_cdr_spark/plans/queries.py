@@ -3187,3 +3187,70 @@ def q70(spark, sf_dir):
         F.col("est_cnt").cast("long").alias("est_cnt"),
         F.col("true_cnt").cast("long").alias("true_cnt"),
     )
+
+
+@register(
+    "q71_balanced_mixture_sample",
+    f"""
+    WITH dw AS (
+      SELECT doc_id, source,
+             LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> ''))
+               AS n_words,
+             ({' + '.join(f"{_hll_nib('hx', i + 1)} * {1 << (4 * (7 - i))}" for i in range(8))}) AS h32
+      FROM (SELECT doc_id, source, text,
+                   MD5('mix|' || CAST(doc_id AS VARCHAR)) AS hx
+            FROM documents)),
+    mass AS (SELECT source, SUM(n_words) AS w FROM dw GROUP BY source),
+    tgt AS (SELECT MIN(w) AS target FROM mass),
+    kept AS (
+      SELECT d.source, d.n_words
+      FROM dw d JOIN mass m ON m.source = d.source
+      WHERE d.h32 * m.w < 4294967296 * (SELECT target FROM tgt))
+    SELECT k.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(k.n_words) AS BIGINT) AS words_kept,
+           CAST(m.w AS BIGINT) AS words_total
+    FROM kept k JOIN mass m ON m.source = k.source
+    GROUP BY k.source, m.w
+    """,
+)
+def q71(spark, sf_dir):
+    """APPLY the data mixture (q67 measures it): balanced downsampling
+    to the smallest source's word mass.  Per-source keep-rate
+    target/W_s is applied as a deterministic integer inequality —
+    keep doc iff hash32(doc) * W_s < 2^32 * target — so the sample is
+    reproducible under any partitioning, exactly proportional in
+    expectation, and engine-exact (no float rate, no RNG).  Two
+    broadcast-sized aggregates (per-source masses) and one corpus
+    filter pass."""
+    t = _t(spark, sf_dir, "documents")
+    dw = t["documents"].select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split(F.lower("text"), " "), lambda w: w != "")).alias(
+            "n_words"
+        ),
+        F.expr(
+            "CAST(conv(substr(md5(concat('mix|', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("h32"),
+    )
+    mass = dw.groupBy("source").agg(F.sum("n_words").alias("w"))
+    target = mass.agg(F.min("w").alias("target"))
+    kept = (
+        dw.join(F.broadcast(mass), "source")
+        .join(F.broadcast(target))
+        .where(F.col("h32") * F.col("w") < F.lit(4294967296) * F.col("target"))
+    )
+    return (
+        kept.groupBy("source", "w")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_kept"),
+            F.sum("n_words").cast("long").alias("words_kept"),
+        )
+        .select(
+            "source",
+            "n_docs_kept",
+            "words_kept",
+            F.col("w").cast("long").alias("words_total"),
+        )
+    )
