@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 - pandas_udf string annotations resolve here
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -3252,5 +3253,68 @@ def q71(spark, sf_dir):
             "n_docs_kept",
             "words_kept",
             F.col("w").cast("long").alias("words_total"),
+        )
+    )
+
+
+@register(
+    "q72_lsh_first_owner",
+    f"""
+    WITH {_SHINGLES_CTE},
+    proj AS (SELECT doc_id, MD5('seed0|' || shingle) AS d0,
+                    MD5('seed1|' || shingle) AS d1
+             FROM shingles),
+    sigs AS (
+      SELECT doc_id,
+             MIN(SUBSTRING(d0, 1, 8)) AS h0, MIN(SUBSTRING(d0, 9, 8)) AS h1,
+             MIN(SUBSTRING(d0, 17, 8)) AS h2, MIN(SUBSTRING(d0, 25, 8)) AS h3,
+             MIN(SUBSTRING(d1, 1, 8)) AS h4, MIN(SUBSTRING(d1, 9, 8)) AS h5,
+             MIN(SUBSTRING(d1, 17, 8)) AS h6, MIN(SUBSTRING(d1, 25, 8)) AS h7
+      FROM proj GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, MD5(h0 || '|' || h1) AS band_hash FROM sigs
+      UNION ALL SELECT doc_id, MD5(h2 || '|' || h3) FROM sigs
+      UNION ALL SELECT doc_id, MD5(h4 || '|' || h5) FROM sigs
+      UNION ALL SELECT doc_id, MD5(h6 || '|' || h7) FROM sigs),
+    owners AS (
+      SELECT band_hash, MIN(doc_id) AS first_doc FROM bands GROUP BY band_hash)
+    SELECT b.doc_id,
+           CAST(MIN(o.first_doc) AS BIGINT) AS owner,
+           CAST(MAX(CASE WHEN o.first_doc < b.doc_id THEN 1 ELSE 0 END) AS INTEGER)
+             AS is_neardup
+    FROM bands b JOIN owners o ON o.band_hash = b.band_hash
+    GROUP BY b.doc_id
+    """,
+)
+def q72(spark, sf_dir):
+    """Batch twin of the streaming near-dup registry
+    (streaming/neardup.py): per document, the smallest doc sharing any
+    LSH band bucket (the bucket 'owner' under doc_id arrival order) and
+    the near-dup verdict (some bucket owned by an earlier doc).  The
+    engine side runs the STREAMING kernel's own band_hashes UDF — so
+    this query value-checks, against independent SQL, the exact hashes
+    the stateful ingest operator keys its state by."""
+    from ..streaming.neardup import band_hashes
+
+    @F.pandas_udf("array<string>")
+    def _bh(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: band_hashes(t or ""))
+
+    t = _t(spark, sf_dir, "documents")
+    bands = t["documents"].select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(_bh(F.col("text"))).alias("band_hash"),
+    )
+    owners = bands.groupBy("band_hash").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        bands.join(owners, "band_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.min("first_doc").cast("long").alias("owner"),
+            F.max(
+                F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("is_neardup"),
         )
     )
