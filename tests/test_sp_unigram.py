@@ -133,3 +133,22 @@ def test_cost_e6_fixed_point_contract():
     cost_e6 = int(math.floor(-logprob * 1e6 + 0.5))
     assert cost_e6 > 0
     assert abs(cost_e6 / 1e6 - (-logprob)) <= 5e-7
+
+
+# --- hypothesis property: Viterbi == exhaustive on the REAL model ----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ALPHABET = "の日本語あいうabcxyz019.▲ツ東京-"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=_ALPHABET, min_size=1, max_size=6))
+def test_viterbi_equals_bruteforce_property(word):
+    w = "▁" + word
+    key, ids = _brute_force(w)
+    pieces, got_ids, logprob = sp.viterbi(w)
+    assert got_ids == ids
+    assert -logprob == pytest.approx(key[0])
+    assert "".join(pieces) == w
