@@ -38,7 +38,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-_WS = re.compile(r"\s+")
+# JVM-parity whitespace: Spark's trim() strips chars <= U+0020 and Java
+# regex \s is ASCII-only by default, while Python's str.strip()/\s are
+# Unicode-wide — match the batch operators' JVM semantics exactly
+_JTRIM_CHARS = "".join(map(chr, range(0x21)))
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 BAND_OUTPUT_SCHEMA = "band_hash string, doc_id long, first_doc long"
 BAND_STATE_SCHEMA = "first_doc long"
@@ -49,7 +53,7 @@ def band_hashes(text: str, k: int = 8, bands: int = 4, n: int = 3) -> list[str]:
     per row.  Documents with fewer than n tokens produce no shingles and
     therefore no bands (the batch path drops them from signatures the
     same way)."""
-    stripped = text.strip()
+    stripped = text.strip(_JTRIM_CHARS)
     toks = _WS.split(stripped.lower()) if stripped else []
     if len(toks) < n:
         return []

@@ -25,6 +25,10 @@ DOCS = [
     (5, "completely different content about spark query planners here"),  # dup of 4
     (6, "an unrelated sentence with no overlap whatsoever in it"),
     (7, "xy"),  # < 3 tokens: no shingles, no bands
+    # JVM-parity trap:   is whitespace to Python but NOT to Java
+    # regex \s — the kernel must keep "over the" as ONE token like
+    # the batch operator does
+    (8, "words split around over the strange nbsp token here"),
 ]
 
 
