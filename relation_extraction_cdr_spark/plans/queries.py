@@ -3318,3 +3318,63 @@ def q72(spark, sf_dir):
             .alias("is_neardup"),
         )
     )
+
+
+@register(
+    "q73_blame_unique_supplier",
+    """
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q73(spark, sf_dir):
+    """TPC-H Q21 topology (suppliers solely to blame in multi-supplier
+    finished orders; 'fault' = returned lines since this lineitem
+    carries no receipt/commit dates): fact-fact semi-join + anti-join
+    on the order key plus a broadcast supplier dimension — the classic
+    planner stress shape where the same fact table is scanned three
+    ways and must co-partition on l_orderkey rather than shuffle per
+    predicate."""
+    t = _t(spark, sf_dir, "lineitem", "supplier", "orders")
+    li = t["lineitem"]
+    l1 = li.where(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.where(F.col("l_returnflag") == "R").alias("l3")
+    fo = t["orders"].where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    base = (
+        l1.join(fo, F.col("l1.l_orderkey") == F.col("o_orderkey"))
+        .join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        base.join(F.broadcast(t["supplier"]), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
