@@ -2803,6 +2803,10 @@ def q65(spark, sf_dir):
     )
     nodes = edges.select(F.col("src").alias("v")).distinct().localCheckpoint()
     n = nodes.count()
+    if n == 0:  # empty graph: no nodes, no ranks (the oracle's pr5 is empty too)
+        return nodes.select(
+            F.col("v").alias("entity"), F.lit(None).cast("long").alias("pr_e9")
+        )
     base = 10**9 // n
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     pr = nodes.withColumn("pr", F.lit(base).cast("long"))

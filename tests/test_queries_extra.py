@@ -51,3 +51,23 @@ def test_countmin_never_underestimates(spark):
     }
     reported = {r["word"] for r in rows}
     assert true_heavy <= reported
+
+
+def test_round2_queries_survive_empty_corpus(spark, tmp_path):
+    """Every round-2 query must return an empty frame (not crash) on a
+    schema-only corpus — the degenerate case of an all-filtered
+    partition slice."""
+    import os
+
+    d = str(tmp_path)
+    for name in ("documents", "events", "lineitem", "supplier", "orders"):
+        src = spark.read.parquet(f"/root/testdata/sf0.001/{name}.parquet")
+        src.limit(0).write.parquet(os.path.join(d, f"{name}.parquet"))
+    for q in [
+        "q61_sentencepiece", "q62_repetition_signals", "q63_corpus_token_counts",
+        "q64_token_packing", "q65_pagerank", "q66_word_rank_quality",
+        "q67_source_mixture", "q68_neardup_triangles", "q69_hll_registers",
+        "q70_countmin_heavy_hitters", "q71_balanced_mixture_sample",
+        "q72_lsh_first_owner", "q73_blame_unique_supplier",
+    ]:
+        assert QUERIES[q](spark, d).count() == 0, q
