@@ -18,14 +18,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def read_mesh_tree(spark: SparkSession, path: str) -> DataFrame:
-    """mesh_tree(tree_number, mesh_id, term) from the TSV (header row
-    skipped via option)."""
-    return (
-        spark.read.option("sep", "\t")
-        .option("header", True)
-        .csv(path)
-        .toDF("tree_number", "mesh_id", "term")
-    )
+    """mesh_tree(tree_number, mesh_id, term, ...) from the TSV (header
+    row skipped via option).
+
+    The first three columns are renamed positionally; any extra columns
+    (e.g. the fixture tables' explicit ``type`` column, consumed via
+    ``--mesh-type-col``) pass through — a fixed 3-name toDF would refuse
+    the 4-column fixture shape outright."""
+    df = spark.read.option("sep", "\t").option("header", True).csv(path)
+    if len(df.columns) < 3:
+        raise ValueError(
+            f"mesh tree TSV needs >= 3 columns (tree_number, mesh_id, term); "
+            f"got {df.columns}"
+        )
+    for old, new in zip(df.columns[:3], ("tree_number", "mesh_id", "term")):
+        df = df.withColumnRenamed(old, new)
+    return df
 
 
 def tree_multimap(mesh_tree: DataFrame) -> DataFrame:
