@@ -3382,3 +3382,88 @@ def q73(spark, sf_dir):
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+@register(
+    "q74_ann_recall",
+    f"""
+    WITH {_IVF_CENTS_CTE},
+    corpus AS (SELECT vec_id, embedding, {ANN.quantize_sql('embedding')} AS qv
+               FROM embeddings),
+    assigned AS (
+      SELECT vec_id, embedding AS cvec, centroid_id FROM (
+        SELECT c.vec_id, c.embedding, t.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                 ORDER BY CAST({ANN.int_dot_sql('c.qv', 't.cq')} AS DOUBLE) / t.cn DESC,
+                          t.centroid_id ASC) AS rk
+        FROM corpus c CROSS JOIN cents2 t)
+      WHERE rk = 1),
+    probes AS (
+      SELECT query_id, qvec, centroid_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qvec, t.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY CAST({ANN.int_dot_sql('q.qv', 't.cq')} AS DOUBLE) / t.cn DESC,
+                          t.centroid_id ASC) AS rk
+        FROM corpus q CROSS JOIN cents2 t WHERE q.vec_id < 3)
+      WHERE rk <= 4),
+    isims AS (
+      SELECT p.query_id, a.vec_id,
+             ROUND({_DOT_SQL} / ({_NORM_SQL('qvec')} * {_NORM_SQL('cvec')}), 6) AS cos_sim
+      FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id <> p.query_id),
+    ivf5 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+        FROM isims) WHERE rnk <= 5),
+    eq AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+           WHERE vec_id < 3 AND LEN(embedding) > 0),
+    ec AS (SELECT vec_id, embedding AS cvec FROM embeddings WHERE LEN(embedding) > 0),
+    esims AS (
+      SELECT query_id, vec_id,
+             ROUND({_DOT_SQL} / ({_NORM_SQL('qvec')} * {_NORM_SQL('cvec')}), 6) AS cos_sim
+      FROM ec CROSS JOIN eq WHERE vec_id <> query_id),
+    exact5 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+        FROM esims) WHERE rnk <= 5)
+    SELECT e.query_id,
+           CAST(COUNT(*) AS INTEGER) AS n_exact,
+           CAST(COUNT(i.vec_id) AS INTEGER) AS n_hit,
+           CAST(CAST(COUNT(i.vec_id) AS DECIMAL(38,6)) / COUNT(*)
+                AS DECIMAL(38,6)) AS recall
+    FROM exact5 e
+    LEFT JOIN ivf5 i ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """,
+)
+def q74(spark, sf_dir):
+    """ANN quality measurement — recall@5 of the IVF path against the
+    exact cosine baseline, per query (what an ANN user tunes nprobe /
+    n_centroids by).  Both arms reuse the exact operators behind q26 and
+    q41 (already hash-verified individually), so the intersection is
+    engine-deterministic: identical rounded similarities, identical
+    vec_id tie-breaks, DECIMAL recall."""
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    queries = emb.where(F.col("vec_id") < 3)
+    exact = ANN.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    ivf = ANN.ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).select(
+        F.col("query_id").alias("iq"), F.col("vec_id").alias("iv")
+    )
+    return (
+        exact.join(
+            ivf,
+            (F.col("iq") == F.col("query_id")) & (F.col("iv") == F.col("vec_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("int").alias("n_exact"),
+            F.count("iv").cast("int").alias("n_hit"),
+            (F.count("iv").cast("decimal(38,6)") / F.count("*"))
+            .cast("decimal(38,6)")
+            .alias("recall"),
+        )
+    )
