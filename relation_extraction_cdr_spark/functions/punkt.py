@@ -231,8 +231,12 @@ class PunktSplitter:
                         starter_fdist[t.type_no_sentperiod] += 1
                 if prev.abbr or prev.is_initial or prev.is_number:
                     pair_fdist[(prev.type_no_period, t.type_no_sentperiod)] += 1
-            first_of_sentence = prev.sentbreak if prev is not None else True
             prev = t
+            # the NEXT token is sentence-initial iff THIS one ends a
+            # sentence (reading prev two tokens back lagged the
+            # orthographic flags by one token and attached BEG/MID
+            # evidence to the wrong types)
+            first_of_sentence = t.sentbreak
 
         for typ, count in starter_fdist.items():
             cnt_typ = type_fdist[typ] + type_fdist.get(typ + ".", 0)
@@ -318,20 +322,29 @@ class PunktSplitter:
         self._second_pass(toks)
         out: list[tuple[int, int]] = []
         start = None
+        consumed = 0  # end of the last realigned boundary
         for (off, tok), t in zip(spans, toks):
             if start is None:
-                start = off
+                # a closer absorbed by the previous sentence's
+                # realignment must not also begin this one (nltk's
+                # realign_boundaries: the next sentence starts AFTER
+                # the absorbed punctuation)
+                start = max(off, consumed)
             if t.sentbreak:
                 end = off + len(tok)
                 # boundary realignment: trailing closing quotes/brackets
                 # belong to this sentence
                 while end < len(text) and text[end] in _RE_BOUNDARY_PUNCT:
                     end += 1
-                out.append((start, end))
+                if end > start:
+                    out.append((start, end))
+                consumed = end
                 start = None
         if start is not None and spans:
             last_off, last_tok = spans[-1]
-            out.append((start, last_off + len(last_tok)))
+            end = last_off + len(last_tok)
+            if end > start:
+                out.append((start, end))
         return out
 
     def tokenize(self, text: str) -> list[str]:

@@ -112,28 +112,49 @@ def lsh_candidate_pairs(
 
     sig_len is the signature length (minhash k) and must be divisible by
     bands — a fractional rows-per-band would silently skip signature
-    lanes, so the slice boundaries are computed in Python and validated
-    (same contract as simhash_neardup_pairs).  When omitted, sig_len is
-    derived from the data; when given, it is validated against one row —
-    a mismatched sig_len would slice empty bands that all hash to
-    md5(''), silently degenerating the prefilter to all-pairs."""
-    probe = signatures.select(F.size("sig").alias("n")).head(1)
-    actual = probe[0]["n"] if probe else None
+    lanes (same contract as simhash_neardup_pairs).  When omitted,
+    sig_len is derived from one probed row (empty input derives nothing
+    and returns zero pairs); when given, every row is guarded at
+    execution time (one codegen comparison) — a mismatched sig_len
+    would slice empty bands that all hash to md5(''), silently
+    degenerating the prefilter to all-pairs."""
     if sig_len is None:
-        if actual is None:
-            raise ValueError("cannot derive sig_len from an empty signatures input")
-        sig_len = actual
-    elif actual is not None and actual != sig_len:
-        raise ValueError(f"sig_len={sig_len} does not match signature arrays of size {actual}")
+        # deriving needs one row; an empty input derives nothing and
+        # legitimately yields zero candidate pairs
+        probe = signatures.select(F.size("sig").alias("n")).head(1)
+        if not probe:
+            spark = signatures.sparkSession
+            return spark.createDataFrame(
+                [], signatures.select(F.col(id_col).alias("a"), F.col(id_col).alias("b")).schema
+            )
+        sig_len = probe[0]["n"]
     if sig_len % bands:
         raise ValueError(f"sig_len={sig_len} not divisible by bands={bands}")
     r = sig_len // bands
+    # mismatched sig_len would slice empty bands that all hash to
+    # md5(''), degenerating the prefilter to all-pairs — guard at
+    # EXECUTION time (one codegen comparison per row) instead of an
+    # eager driver action that re-runs the upstream pipeline per call
+    guarded = F.when(
+        F.size("sig") == sig_len, F.col("sig")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_candidate_pairs: sig_len={sig_len} does not match "),
+                F.lit("signature array of size "),
+                F.size("sig").cast("string"),
+            )
+        )
+    )
     banded = signatures.select(
+        F.col(id_col),
+        guarded.alias("_sig"),
+    ).select(
         F.col(id_col),
         F.posexplode(
             F.array(
                 *[
-                    F.md5(F.concat_ws("|", F.slice(F.col("sig"), b * r + 1, r)))
+                    F.md5(F.concat_ws("|", F.slice(F.col("_sig"), b * r + 1, r)))
                     for b in range(bands)
                 ]
             )

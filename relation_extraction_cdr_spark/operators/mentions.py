@@ -134,13 +134,21 @@ def entity_inventory(mentions: DataFrame) -> DataFrame:
     # struct tiebreak (end, then the value itself) makes the pick stable;
     # the shipped corpora are start-ordered and tie-free so this matches
     # the reference's file-line-order dict overwrite exactly.
+    # ONE max_by over the full struct, projected to both fields: two
+    # independent max_by calls could take rep_text and type from
+    # DIFFERENT mentions on an exact (start, end) tie, emitting a
+    # (rep_text, type) combination no input row had
+    winner = F.max_by(
+        F.struct("mention_text", "type"),
+        F.struct("start", "end", "mention_text", "type"),
+    )
     return mentions.groupBy("url", "mesh_id").agg(
         F.array_sort(F.collect_list(F.struct("start", "end"))).alias("positions"),
-        F.max_by("mention_text", F.struct("start", "end", "mention_text")).alias("rep_text"),
+        winner.getField("mention_text").alias("rep_text"),
         # LAST mention's type, like rep_text: the reference's dict entry
         # is overwritten per mention (cdr_dataset.py:72-75), and
         # F.first over an unordered groupBy is nondeterministic anyway
-        F.max_by("type", F.struct("start", "end", "type")).alias("type"),
+        winner.getField("type").alias("type"),
     )
 
 

@@ -3201,7 +3201,7 @@ def q70(spark, sf_dir):
       SELECT doc_id, source,
              LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> ''))
                AS n_words,
-             ({' + '.join(f"{_hll_nib('hx', i + 1)} * {1 << (4 * (7 - i))}" for i in range(8))}) AS h32
+             ({' + '.join(f"{_hll_nib('hx', i + 1)} * {1 << (4 * (3 - i))}" for i in range(4))}) AS h16
       FROM (SELECT doc_id, source, text,
                    MD5('mix|' || CAST(doc_id AS VARCHAR)) AS hx
             FROM documents)),
@@ -3210,7 +3210,7 @@ def q70(spark, sf_dir):
     kept AS (
       SELECT d.source, d.n_words
       FROM dw d JOIN mass m ON m.source = d.source
-      WHERE d.h32 * m.w < 4294967296 * (SELECT target FROM tgt))
+      WHERE d.h16 * m.w < 65536 * (SELECT target FROM tgt))
     SELECT k.source,
            CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
            CAST(SUM(k.n_words) AS BIGINT) AS words_kept,
@@ -3223,11 +3223,14 @@ def q71(spark, sf_dir):
     """APPLY the data mixture (q67 measures it): balanced downsampling
     to the smallest source's word mass.  Per-source keep-rate
     target/W_s is applied as a deterministic integer inequality —
-    keep doc iff hash32(doc) * W_s < 2^32 * target — so the sample is
+    keep doc iff hash16(doc) * W_s < 2^16 * target — so the sample is
     reproducible under any partitioning, exactly proportional in
-    expectation, and engine-exact (no float rate, no RNG).  Two
-    broadcast-sized aggregates (per-source masses) and one corpus
-    filter pass."""
+    expectation (1/65536 rate granularity), and engine-exact (no float
+    rate, no RNG).  The 16-bit hash keeps the product inside int64 up
+    to W_s < 2^47 words per source (~500 TB of text) — a 32-bit hash
+    would silently wrap in Spark while DuckDB errors, diverging exactly
+    at scale.  Two broadcast-sized aggregates (per-source masses) and
+    one corpus filter pass."""
     t = _t(spark, sf_dir, "documents")
     dw = t["documents"].select(
         "doc_id",
@@ -3236,15 +3239,15 @@ def q71(spark, sf_dir):
             "n_words"
         ),
         F.expr(
-            "CAST(conv(substr(md5(concat('mix|', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
-        ).alias("h32"),
+            "CAST(conv(substr(md5(concat('mix|', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT)"
+        ).alias("h16"),
     )
     mass = dw.groupBy("source").agg(F.sum("n_words").alias("w"))
     target = mass.agg(F.min("w").alias("target"))
     kept = (
         dw.join(F.broadcast(mass), "source")
         .join(F.broadcast(target))
-        .where(F.col("h32") * F.col("w") < F.lit(4294967296) * F.col("target"))
+        .where(F.col("h16") * F.col("w") < F.lit(65536) * F.col("target"))
     )
     return (
         kept.groupBy("source", "w")

@@ -60,9 +60,14 @@ def read_xlsx(path: str, sheet: int = 0) -> list[dict[str, str]]:
             for si in root.findall(f"{_NS}si"):
                 shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
         sheet_names = sorted(
-            n
-            for n in z.namelist()
-            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+            (
+                n
+                for n in z.namelist()
+                if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+            ),
+            # numeric order: a lexicographic sort puts sheet10 before
+            # sheet2 and silently selects the wrong worksheet
+            key=lambda n: int(re.search(r"(\d+)", n).group(1)),
         )
         root = ET.fromstring(z.read(sheet_names[sheet]))
         rows: list[dict[int, str]] = []
@@ -131,7 +136,20 @@ def assemble_samples(
         idx = str(row.get("Sample", "")).strip()
         text = row.get("Japanese", "")
         if idx and idx.lower() != "nan" and current_text:
-            assert int(float(idx)) == current_index + 1, (idx, current_index)
+            try:
+                mark = int(float(idx))
+            except ValueError as e:
+                raise ValueError(
+                    f"non-numeric Sample mark {idx!r} in ALPS sheet"
+                ) from e
+            # a real raise, not assert (which vanishes under python -O):
+            # a misnumbered mark means every later sample pairs with the
+            # WRONG entity/cause/effect lists by index
+            if mark != current_index + 1:
+                raise ValueError(
+                    f"Sample marks must be consecutive: mark {mark} after "
+                    f"{current_index} completed samples"
+                )
             close()
             current_text = text
         else:

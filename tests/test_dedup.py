@@ -63,11 +63,15 @@ def test_lsh_sig_len_guard(docs):
     raise — out-of-range band slices would hash md5('') identically for
     every doc, silently degenerating the prefilter to all-pairs."""
     sigs = DD.minhash_signatures(DD.word_shingles(docs), k=4)
-    with pytest.raises(ValueError, match="does not match"):
-        DD.lsh_candidate_pairs(sigs, bands=4, sig_len=8)
+    # the guard fires at EXECUTION time (codegen raise_error, no eager
+    # driver action on the build path)
+    with pytest.raises(Exception, match="does not match"):
+        DD.lsh_candidate_pairs(sigs, bands=4, sig_len=8).collect()
     # derived sig_len (k=4, bands=4 -> 1 lane per band) just works
     derived = {(r["a"], r["b"]) for r in DD.lsh_candidate_pairs(sigs, bands=4).collect()}
     assert (0, 1) in derived
+    # empty signatures with derived sig_len: zero pairs, not an error
+    assert DD.lsh_candidate_pairs(sigs.limit(0), bands=4).count() == 0
 
 
 def test_simhash(docs):

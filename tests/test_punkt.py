@@ -134,3 +134,28 @@ def test_pipeline_runs_with_punkt_splitter(spark, fixtures, mesh):
         if r["pred"] == 1
     }
     assert punkt_pos == regex_pos and len(punkt_pos) > 0
+
+
+def test_realigned_closer_not_duplicated():
+    """A closing quote absorbed by boundary realignment must not also
+    begin the next sentence (previously produced overlapping spans and
+    a duplicated character)."""
+    sp = PunktSplitter()
+    text = 'He said "stop." Then he left.'
+    spans = sp.span_tokenize(text)
+    assert all(b[0] >= a[1] for a, b in zip(spans, spans[1:])), spans
+    assert "".join(text[s:e] for s, e in spans).replace(" ", "") == text.replace(
+        " ", ""
+    )
+
+
+def test_ortho_context_tracks_current_token():
+    """Sentence-initial lowercase types must record BEG_LC (8), not
+    MID_LC — the training loop previously lagged first_of_sentence by
+    one token."""
+    sp = PunktSplitter()
+    sp.train(
+        "He slept well. the dog barked loudly. the cat ran away. "
+        "the dog barked loudly."
+    )
+    assert sp.params.ortho_context.get("the") == 8
