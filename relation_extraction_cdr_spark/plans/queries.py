@@ -3470,3 +3470,77 @@ def q74(spark, sf_dir):
             .alias("recall"),
         )
     )
+
+
+@register(
+    "q75_crossdoc_passages",
+    """
+    WITH dw AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS w
+      FROM documents),
+    grams AS (
+      SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w) - 6),
+                     i -> MD5(ARRAY_TO_STRING(w[i:i+7], ' ')))) AS g
+      FROM dw WHERE LEN(w) >= 8),
+    shared AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    per_doc AS (
+      SELECT gr.doc_id,
+             COUNT(*) AS n_grams,
+             COUNT(s.g) AS n_shared
+      FROM grams gr LEFT JOIN shared s ON s.g = gr.g
+      GROUP BY gr.doc_id)
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(CAST(n_shared AS DECIMAL(38,6)) / n_grams
+                AS DECIMAL(38,6)) AS shared_frac
+    FROM per_doc
+    """,
+)
+def q75(spark, sf_dir):
+    """Cross-document repeated-passage detection (the bounded-n-gram
+    form of Lee et al. 2022 exact-substring dedup): every 8-token
+    passage position is flagged when its gram also occurs in at least
+    one OTHER document, giving a per-document shared-passage fraction —
+    the signal that catches licence blocks, syndicated articles, and
+    template pages that whole-document dedup misses.  Shape: one
+    explode to md5 gram keys, one distinct-doc-count aggregate over the
+    gram dimension, one join back — all equi-keyed on the gram hash,
+    never pairwise."""
+    t = _t(spark, sf_dir, "documents")
+    grams = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.filter(F.split(F.lower("text"), " "), lambda w: w != "").alias("w"),
+        )
+        .where(F.size("w") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 7),
+                    lambda i: F.md5(F.array_join(F.slice("w", i, 8), " ")),
+                )
+            ).alias("g"),
+        )
+    )
+    shared = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("g")
+    )
+    return (
+        grams.join(shared.withColumnRenamed("g", "sg"), grams.g == F.col("sg"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.count("sg").cast("long").alias("n_shared"),
+            (F.count("sg").cast("decimal(38,6)") / F.count("*"))
+            .cast("decimal(38,6)")
+            .alias("shared_frac"),
+        )
+    )
