@@ -3544,3 +3544,99 @@ def q75(spark, sf_dir):
             .alias("shared_frac"),
         )
     )
+
+
+@register(
+    "q76_curation_verdicts",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, ' ' || LOWER(text) || ' ' AS p,
+             LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS w,
+             MIN(doc_id) OVER (PARTITION BY MD5(text)) AS fp_owner
+      FROM documents),
+    sig AS (
+      SELECT doc_id, fp_owner,
+             {_LANG_CASE.replace('s_en', 'x_en').replace('s_es', 'x_es')
+                        .replace('s_fr', 'x_fr').replace('s_de', 'x_de')}
+               AS detected_lang,
+             LEN(w) AS n_words,
+             1.0 - LIST_UNIQUE(w) / GREATEST(LEN(w), 1) AS dup_word_frac,
+             LENGTH(REGEXP_REPLACE(text, '[^.!?,;:]', '', 'g'))
+               / GREATEST(LENGTH(text), 1) AS punct_ratio
+      FROM (SELECT b.*,
+                   {', '.join(f"({' + '.join(_sql_count_word(w) for w in ws)}) AS x_{lang}"
+                              for lang, ws in Q.LANG_MARKERS.items())}
+            FROM base b))
+    SELECT doc_id, detected_lang,
+           CAST(n_words AS INTEGER) AS n_words,
+           CONCAT_WS(',',
+             CASE WHEN fp_owner <> doc_id THEN 'exact_dup' END,
+             CASE WHEN detected_lang = 'und' THEN 'lang' END,
+             CASE WHEN punct_ratio > 0.08 THEN 'punct' END,
+             CASE WHEN dup_word_frac > 0.6 THEN 'repetitive' END,
+             CASE WHEN n_words < 5 THEN 'too_short' END) AS reasons,
+           CAST(CASE WHEN fp_owner = doc_id AND detected_lang <> 'und'
+                      AND punct_ratio <= 0.08 AND dup_word_frac <= 0.6
+                      AND n_words >= 5
+                     THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM sig
+    """,
+)
+def q76(spark, sf_dir):
+    """Single-pass curation verdicts — the capstone composition: ONE
+    scan computes language (marker heuristic), length, punctuation
+    ratio, duplicate-word fraction, and exact-dup ownership (min doc_id
+    per md5 fingerprint — the only shuffle), and folds them into a
+    keep/drop verdict with machine-readable reasons.  At 100 TB this is
+    the shape that matters: five signals share one pass instead of five
+    scans, and the verdict thresholds are explicit plan literals.
+    Reason order is fixed (exact_dup, lang, punct, repetitive,
+    too_short) so the CSV is engine-stable."""
+    t = _t(spark, sf_dir, "documents")
+    w_fp = Window.partitionBy(F.md5("text"))
+    base = t["documents"].select(
+        "doc_id",
+        "text",
+        Q.padded_text(F.col("text")).alias("_p"),
+        F.filter(F.split(F.lower("text"), " "), lambda w: w != "").alias("w"),
+        F.min("doc_id").over(w_fp).alias("fp_owner"),
+    )
+    sig = base.select(
+        "doc_id",
+        "fp_owner",
+        Q.detect_lang(padded=F.col("_p")).alias("detected_lang"),
+        F.size("w").alias("n_words"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("w"))
+            / F.greatest(F.size("w"), F.lit(1))
+        ).alias("dup_word_frac"),
+        (
+            F.length(F.regexp_replace("text", r"[^.!?,;:]", ""))
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("punct_ratio"),
+    )
+    return sig.select(
+        "doc_id",
+        "detected_lang",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.concat_ws(
+            ",",
+            F.when(F.col("fp_owner") != F.col("doc_id"), "exact_dup"),
+            F.when(F.col("detected_lang") == "und", "lang"),
+            F.when(F.col("punct_ratio") > 0.08, "punct"),
+            F.when(F.col("dup_word_frac") > 0.6, "repetitive"),
+            F.when(F.col("n_words") < 5, "too_short"),
+        ).alias("reasons"),
+        F.when(
+            (F.col("fp_owner") == F.col("doc_id"))
+            & (F.col("detected_lang") != "und")
+            & (F.col("punct_ratio") <= 0.08)
+            & (F.col("dup_word_frac") <= 0.6)
+            & (F.col("n_words") >= 5),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("keep"),
+    )
