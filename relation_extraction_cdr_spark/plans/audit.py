@@ -224,6 +224,27 @@ EXPECTATIONS: dict[str, dict[str, tuple[str, int]]] = {
         "sort_merge_joins": ("==", 0),
         "partial_aggs": (">=", 3),
     },
+    # mixture apply: both mass aggregates broadcast back to the corpus
+    "q71_balanced_mixture_sample": {
+        "broadcast_hash_joins": (">=", 2),
+        "sort_merge_joins": ("==", 0),
+    },
+    "q72_lsh_first_owner": {
+        "broadcast_hash_joins": (">=", 1),
+        "sort_merge_joins": ("==", 0),
+    },
+    # shared-gram dimension joins back without a corpus shuffle join
+    "q75_crossdoc_passages": {
+        "sort_merge_joins": ("==", 0),
+        "partial_aggs": (">=", 2),
+    },
+    # the capstone single-pass claim IS the plan contract: five signals,
+    # exactly one exchange (the fingerprint window), no joins
+    "q76_curation_verdicts": {
+        "exchanges": ("<=", 1),
+        "sort_merge_joins": ("==", 0),
+        "broadcast_hash_joins": ("==", 0),
+    },
 }
 
 _OPS = {
