@@ -3526,6 +3526,11 @@ def q75(spark, sf_dir):
                 )
             ).alias("g"),
         )
+        # both the shared-gram aggregate and the join-back consume this
+        # stream: persisting fills the gram explode once instead of
+        # re-scanning the corpus under each plan branch (the
+        # jaccard_pairs shingle pattern)
+        .persist()
     )
     shared = (
         grams.groupBy("g")

@@ -48,6 +48,23 @@ def _col_index(ref: str) -> int:
     return out - 1
 
 
+def _rich_text(el) -> str:
+    """Concatenate the <t> runs of a rich-text container, SKIPPING
+    phonetic (furigana) <rPh> blocks — Japanese-authored spreadsheets
+    store readings there, and pandas/openpyxl (the reference path)
+    ignore them; naively joining every <t> would corrupt 頭痛 into
+    頭痛ズツウ and shift every entity offset downstream."""
+    parts = []
+    for child in list(el):
+        if child.tag == f"{_NS}rPh" or child.tag == f"{_NS}phoneticPr":
+            continue
+        if child.tag == f"{_NS}t":
+            parts.append(child.text or "")
+        else:
+            parts.append("".join(t.text or "" for t in child.iter(f"{_NS}t")))
+    return "".join(parts)
+
+
 def read_xlsx(path: str, sheet: int = 0) -> list[dict[str, str]]:
     """Minimal XLSX scan: list of {header: cell-text} row dicts for one
     worksheet.  Handles shared strings (t="s"), inline strings
@@ -58,7 +75,7 @@ def read_xlsx(path: str, sheet: int = 0) -> list[dict[str, str]]:
         if "xl/sharedStrings.xml" in z.namelist():
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in root.findall(f"{_NS}si"):
-                shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+                shared.append(_rich_text(si))
         sheet_names = sorted(
             (
                 n
@@ -74,7 +91,11 @@ def read_xlsx(path: str, sheet: int = 0) -> list[dict[str, str]]:
         for row in root.iter(f"{_NS}row"):
             cells: dict[int, str] = {}
             for c in row.findall(f"{_NS}c"):
-                ref = _CELL_REF.match(c.get("r", "A1"))
+                # OOXML allows <c> without r: such cells position
+                # sequentially (a defaulted 'A1' would stack them all
+                # on column 0)
+                r_attr = c.get("r")
+                ref = _CELL_REF.match(r_attr) if r_attr else None
                 col = _col_index(ref.group(1)) if ref else len(cells)
                 ctype = c.get("t", "n")
                 if ctype == "s":
@@ -82,11 +103,7 @@ def read_xlsx(path: str, sheet: int = 0) -> list[dict[str, str]]:
                     cells[col] = shared[int(v.text)] if v is not None else ""
                 elif ctype == "inlineStr":
                     is_el = c.find(f"{_NS}is")
-                    cells[col] = (
-                        "".join(t.text or "" for t in is_el.iter(f"{_NS}t"))
-                        if is_el is not None
-                        else ""
-                    )
+                    cells[col] = _rich_text(is_el) if is_el is not None else ""
                 else:
                     v = c.find(f"{_NS}v")
                     if v is not None and v.text is not None:
@@ -135,6 +152,15 @@ def assemble_samples(
     for row in rows:
         idx = str(row.get("Sample", "")).strip()
         text = row.get("Japanese", "")
+        if idx and idx.lower() != "nan" and not current_text:
+            # the reference silently swallows a mark with no
+            # accumulated text (and a first-row mark); that is exactly
+            # the silent entity-list misalignment the consecutiveness
+            # check exists to prevent — fail loudly instead
+            raise ValueError(
+                f"Sample mark {idx!r} with no accumulated text "
+                f"(after {current_index} completed samples)"
+            )
         if idx and idx.lower() != "nan" and current_text:
             try:
                 mark = int(float(idx))

@@ -142,3 +142,42 @@ def test_distributed_conversion_equals_driver(spark, tmp_path):
     s1 = {(r["sample_id"], r["split"]) for r in AX.deterministic_split(df).collect()}
     s2 = {(r["sample_id"], r["split"]) for r in AX.deterministic_split(df).collect()}
     assert s1 == s2 and len(s1) == 2
+
+
+def test_furigana_runs_are_ignored(tmp_path):
+    """Japanese xlsx stores phonetic readings in <rPh> blocks inside
+    shared strings; they must NOT leak into cell text (pandas/openpyxl
+    ignore them — naive <t> joining read 頭痛 as 頭痛ズツウ)."""
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {_XLSX_NS}><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>1</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    sst = (
+        f'<?xml version="1.0"?><sst {_XLSX_NS}>'
+        "<si><t>Japanese</t></si>"
+        "<si><r><t>頭痛</t></r><rPh><t>ズツウ</t></rPh><phoneticPr/></si>"
+        "</sst>"
+    )
+    p = str(tmp_path / "f.xlsx")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/sharedStrings.xml", sst)
+    rows = AX.read_xlsx(p)
+    assert rows == [{"Japanese": "頭痛"}]
+
+
+def test_mark_without_text_fails_loudly(tmp_path):
+    """A Sample mark with no accumulated text previously slipped past
+    the consecutiveness guard and silently misaligned every later
+    sample's entity lists — it must raise."""
+    rows = [
+        ["Sample", "Japanese"],
+        [None, "text zero"],
+        [1, None],
+        [2, "text one"],
+    ]
+    p = write_xlsx(str(tmp_path / "m.xlsx"), rows)
+    with pytest.raises(ValueError, match="no accumulated text"):
+        AX.assemble_samples(AX.read_xlsx(p), [[], [], []], [[], [], []], [[], [], []])
