@@ -95,3 +95,41 @@ def test_k_bands_divisibility_guard(spark):
     docs = spark.createDataFrame(DOCS, "doc_id long, text string")
     with pytest.raises(ValueError, match="not divisible"):
         neardup_on_ingest(docs, k=8, bands=3)
+
+
+def test_state_survives_restart_across_runs(spark, tmp_path):
+    """Bucket ownership must persist in the state store across SEPARATE
+    availableNow runs sharing a checkpoint: a batch-2 duplicate of a
+    batch-1 document is flagged with the batch-1 owner after a full
+    query restart (crash/resume semantics of the ingest dedup)."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+
+    def run_batch(rows, fname):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(in_dir))
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).parquet(str(in_dir))
+        q = (
+            neardup_on_ingest(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    text = "the quick brown fox jumps over the lazy dog tonight"
+    run_batch([(1, text)], "b1")
+    run_batch([(2, text)], "b2")  # fresh query instance, same checkpoint
+
+    rows = spark.read.parquet(out_dir).collect()
+    owners = {r["doc_id"]: r["first_doc"] for r in rows}
+    assert owners[1] == 1
+    assert owners[2] == 1  # batch-1 ownership recovered from state store
