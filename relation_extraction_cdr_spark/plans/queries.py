@@ -3645,3 +3645,48 @@ def q76(spark, sf_dir):
         .cast("int")
         .alias("keep"),
     )
+
+
+@register(
+    "q77_below_avg_quantity",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+             AS total_price
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size <= 5
+      AND (SELECT CAST(l.l_quantity AS DECIMAL(38,4)) * 5 * COUNT(*)
+                  < SUM(CAST(l2.l_quantity AS DECIMAL(38,4)))
+           FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q77(spark, sf_dir):
+    """TPC-H Q17 shape: the correlated scalar-aggregate subquery
+    (lines below 20% of their part's average quantity, restricted to
+    small parts).  The Spark side expresses the DECORRELATED plan
+    explicitly — per-part averages as one aggregate joined back —
+    which is what a good optimizer rewrites the subquery into: the
+    fact table is scanned twice but joined on the part key, never
+    re-executed per row.  Price sum decimal-stabilized for the
+    cross-engine hash."""
+    t = _t(spark, sf_dir, "lineitem", "part")
+    li = t["lineitem"]
+    # division-free predicate: qty < 0.2 * sum/count is evaluated as
+    # 5*qty*count < sum in exact DECIMAL arithmetic — float AVG partial
+    # -sum order and decimal-division rounding rules both differ across
+    # engines, and a last-ulp threshold difference flips boundary rows
+    avgq = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_quantity")).alias("qty_sum"),
+        F.count("*").alias("qty_n"),
+    )
+    small = t["part"].where(F.col("p_size") <= 5).select("p_partkey")
+    return (
+        li.join(F.broadcast(small), li.l_partkey == F.col("p_partkey"))
+        .join(avgq, "l_partkey")
+        .where(dec("l_quantity") * 5 * F.col("qty_n") < F.col("qty_sum"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("total_price"),
+        )
+    )
