@@ -245,6 +245,14 @@ EXPECTATIONS: dict[str, dict[str, tuple[str, int]]] = {
         "sort_merge_joins": ("==", 0),
         "broadcast_hash_joins": ("==", 0),
     },
+    # TPC-H topologies: semi/anti and decorrelated-agg joins must stay
+    # hash joins (AQE turns the fact-fact order-key joins broadcast at
+    # this scale; what matters is NO sort-merge fallback and no product)
+    "q73_blame_unique_supplier": {"sort_merge_joins": ("==", 0)},
+    "q77_below_avg_quantity": {
+        "sort_merge_joins": ("==", 0),
+        "partial_aggs": (">=", 2),
+    },
 }
 
 _OPS = {
