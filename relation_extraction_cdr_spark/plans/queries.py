@@ -3690,3 +3690,45 @@ def q77(spark, sf_dir):
             F.sum(dec("l_extendedprice")).cast("double").alias("total_price"),
         )
     )
+
+
+@register(
+    "q78_bpe_pair_stats",
+    """
+    WITH wf AS (
+      SELECT tok AS word, COUNT(*) AS freq FROM (
+        SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok FROM documents)
+      WHERE tok <> '' GROUP BY tok),
+    syms AS (
+      SELECT word, freq,
+             LIST_APPEND(
+               LIST_TRANSFORM(RANGE(1, LEN(word)), i -> word[i:i]),
+               word[LEN(word):LEN(word)] || '</w>') AS s
+      FROM wf),
+    pairs AS (
+      SELECT u.a, u.b, SUM(freq) AS cnt FROM (
+        SELECT freq, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(s)),
+                     i -> STRUCT_PACK(a := s[i], b := s[i + 1]))) AS u
+        FROM syms WHERE LEN(s) >= 2)
+      GROUP BY u.a, u.b)
+    SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM pairs
+    ORDER BY cnt DESC, a, b LIMIT 20
+    """,
+)
+def q78(spark, sf_dir):
+    """BPE training pair statistics (the inner loop of corpus-scale
+    tokenizer learning, operators/bpe.py): adjacent symbol pairs over
+    the character-initialized vocabulary, weighted by word frequency —
+    the top of this ranking IS the next merge.  One explode + groupBy
+    over the distinct-word Zipf dimension; deterministic (cnt desc,
+    pair lex) ordering."""
+    from ..operators import bpe as B
+
+    t = _t(spark, sf_dir, "documents")
+    syms = B.to_symbols(B.word_freqs(t["documents"]))
+    return (
+        B.pair_counts(syms)
+        .select("a", "b", F.col("cnt").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
