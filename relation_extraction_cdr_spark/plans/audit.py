@@ -253,6 +253,11 @@ EXPECTATIONS: dict[str, dict[str, tuple[str, int]]] = {
         "sort_merge_joins": ("==", 0),
         "partial_aggs": (">=", 2),
     },
+    # BPE pair stats: two map-side-combined aggregates, no joins at all
+    "q78_bpe_pair_stats": {
+        "sort_merge_joins": ("==", 0),
+        "partial_aggs": (">=", 2),
+    },
 }
 
 _OPS = {
