@@ -150,9 +150,18 @@ def select_evidence_py(
         best = intra[intra_d.index(min(intra_d))]
         return dict(label=label, evidence_type="intra", **best)
     if not extract_inter:
+        # document-level fallback (text_utils.py:146-147: the pair is
+        # STILL scored over the whole document).  The reference's global
+        # path marks every mention of every entity (make_example,
+        # cdr_dataset.py:102-127); this engine's per-pair featurizer
+        # marks one span per entity, so the FIRST mention of each is
+        # emitted as the document-absolute span — documented divergence,
+        # chosen over silently losing the pair
+        cs, ce = min(chem_positions)
+        ds, de = min(dis_positions)
         return dict(
             label=label, evidence_type="global", sentence=text, sent_pos=None,
-            chem_start=None, chem_end=None, dis_start=None, dis_end=None,
+            chem_start=cs, chem_end=ce, dis_start=ds, dis_end=de,
         )
     if far:
         best = far[far_d.index(min(far_d))]
@@ -168,17 +177,21 @@ def select_evidence_py(
                 start_sentence, end_sentence = min(ci, di), max(ci, di)
     if min_distance <= 3 and c_idx and d_idx:
         s0, s1 = by_idx[start_sentence], by_idx[end_sentence]
-        start_pos = text.find(s0["text"])
-        end_pos = text.find(s1["text"]) + len(s1["text"])
+        # the splitter contract stores start = text.find(sent) on every
+        # sentence dict (functions/text.py:82), so reuse it instead of
+        # re-scanning the document up to three times per pair
+        start_pos = s0["start"]
+        s1_start = s1["start"]
+        end_pos = s1_start + len(s1["text"])
         window = text[start_pos:end_pos]
         cstart = s0["text"].find(chem_text)
         dstart = s1["text"].find(dis_text)
         if cstart == -1 or dstart == -1:
-            cstart = s1["text"].find(chem_text) + text.find(s1["text"])
+            cstart = s1["text"].find(chem_text) + s1_start
             dstart = s0["text"].find(dis_text) + start_pos
         else:
             cstart += start_pos
-            dstart += text.find(s1["text"])
+            dstart += s1_start
         return dict(
             label=label, evidence_type="inter_window", sentence=window,
             sent_pos=start_pos,

@@ -49,6 +49,38 @@ def extracted_docs(pages: DataFrame, lang: str | None = None) -> DataFrame:
     )
 
 
+# Caches created by score_candidates live for the app unless released:
+# each call unpersists the previous call's intermediates (single-pipeline
+# lifecycle; concurrent pipelines in one driver should pass
+# persist_intermediates=False and manage their own).  The gazetteer memo
+# avoids re-deriving the static MeSH artifacts (gazetteer plan, isEmpty
+# probe, 58k-row dict collect) once per foreachBatch micro-batch.
+_prev_caches: list = []
+_gaz_memo: dict = {}
+
+
+def _mesh_artifacts(mesh_tree, mesh_type_col):
+    key = (id(mesh_tree), mesh_type_col)
+    hit = _gaz_memo.get(key)
+    if hit is not None and hit[0] is mesh_tree:
+        return hit[1], hit[2], hit[3]
+    from ..operators.mentions import gazetteer_dict
+
+    gaz = gazetteer(mesh_tree, type_col=mesh_type_col)
+    if gaz.isEmpty():
+        raise ValueError(
+            "empty gazetteer: no mesh rows produced a Chemical/Disease "
+            f"type (mesh_type_col={mesh_type_col!r}). Pass "
+            "mesh_type_col='type' for fixture-shaped mesh tables, or "
+            "None for the real 2017 MeSH tree (D*/C* branch letters)."
+        )
+    gd = gazetteer_dict(gaz)
+    max_words = max((t.count(" ") + 1 for t in gd), default=1)
+    _gaz_memo.clear()  # one static mesh dimension per app in practice
+    _gaz_memo[key] = (mesh_tree, gaz, gd, max_words)
+    return gaz, gd, max_words
+
+
 def score_candidates(
     pages: DataFrame,
     mesh_tree: DataFrame,
@@ -75,20 +107,13 @@ def score_candidates(
     production path); fused=False runs the three modular stages.
     """
     docs = extracted_docs(pages)
-    gaz = gazetteer(mesh_tree, type_col=mesh_type_col)
-    if gaz.isEmpty():
-        # an empty gazetteer makes the whole run a silently-successful
-        # no-op (zero mentions -> zero triples) — at corpus scale that is
-        # an expensive nothing.  The classic cause: a fixture-shaped mesh
-        # table (explicit type column, synthetic tree numbers) read with
-        # mesh_type_col=None, whose branch-letter type derivation yields
-        # NULL for every row.
-        raise ValueError(
-            "empty gazetteer: no mesh rows produced a Chemical/Disease "
-            f"type (mesh_type_col={mesh_type_col!r}). Pass "
-            "mesh_type_col='type' for fixture-shaped mesh tables, or "
-            "None for the real 2017 MeSH tree (D*/C* branch letters)."
-        )
+    # empty-gazetteer fail-fast lives inside _mesh_artifacts: a silently
+    # successful no-op run (zero mentions -> zero triples) is an
+    # expensive nothing at corpus scale
+    gaz, gd, max_words = _mesh_artifacts(mesh_tree, mesh_type_col)
+    if persist_intermediates:
+        while _prev_caches:
+            _prev_caches.pop().unpersist()
 
     if fused:
         # doc-level fused path: the document text crosses the shuffle and
@@ -100,11 +125,8 @@ def score_candidates(
         # electra_model.py:711-734).  The only exchanges in the whole
         # pipeline are the optional salt repartition and the final
         # dimension-bounded triple groupBy.
-        from ..operators.mentions import gazetteer_dict
         from ..scoring.scorer import fused_score_docs
 
-        gd = gazetteer_dict(gaz)
-        max_words = max((t.count(" ") + 1 for t in gd), default=1)
         payload = docs
         if gold is not None:
             gold_arr = gold.groupBy("url").agg(
@@ -123,7 +145,14 @@ def score_candidates(
             # only documents above the heavy-length threshold are
             # redistributed by url-hash (a ~1% shuffle); the light
             # majority flows through narrow.  union of the two branches
-            # is itself narrow.
+            # is itself narrow.  The branches are filter-complements of
+            # the SAME payload: persist it so extraction (and the gold
+            # join) fills once instead of once per union child.
+            if persist_intermediates:
+                from pyspark import StorageLevel
+
+                payload = payload.persist(StorageLevel.MEMORY_AND_DISK)
+                _prev_caches.append(payload)
             heavy = F.length("text") > heavy_doc_chars
             payload = payload.where(~heavy).unionByName(
                 payload.where(heavy).repartition(
@@ -148,6 +177,7 @@ def score_candidates(
         from pyspark import StorageLevel
 
         inventory = inventory.persist(StorageLevel.MEMORY_AND_DISK)
+        _prev_caches.append(inventory)
     pairs = candidate_pairs(inventory)
     if gold is not None:
         pairs = label_pairs(pairs, gold)

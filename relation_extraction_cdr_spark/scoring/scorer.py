@@ -288,7 +288,7 @@ def fused_score_docs(
                                 [p for p, _ in cpos] + [p for p, _ in dpos]
                             ),
                         )
-                        if ev is None or ev["chem_start"] is None:
+                        if ev is None:
                             continue
                         feat = featurize_py(
                             ev["sentence"], ev["sent_pos"] or 0,

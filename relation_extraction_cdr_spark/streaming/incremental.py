@@ -15,13 +15,14 @@ to an uninterrupted run (pytest-verified).
 On a real cluster each bucket is itself a distributed job over many
 executors; n_buckets controls restart granularity, not parallelism.
 A Structured Streaming variant (`stream_pages`) expresses the same plan
-over readStream+foreachBatch for continuously arriving pages.
+over readStream+foreachBatch for continuously arriving pages with
+idempotent per-batch partition overwrites.
 """
 
 from __future__ import annotations
 
 import os
-import time
+from datetime import datetime
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -90,9 +91,9 @@ def run_resumable(
         scored.write.mode("overwrite").parquet(os.path.join(out_dir, f"bucket={b}"))
         row_count = spark.read.parquet(os.path.join(out_dir, f"bucket={b}")).count()
         lineage = spark.createDataFrame(
-            [(run_id, "score", b, url_count, row_count)],
-            "run_id string, stage string, partition_id int, url_count long, row_count long",
-        ).withColumn("written_at", F.lit(time.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp"))
+            [(run_id, "score", b, url_count, row_count, datetime.now())],
+            CHECKPOINT_SCHEMA,
+        )
         lineage.write.mode("append").parquet(checkpoint_dir)
         processed += 1
     return spark.read.parquet(os.path.join(out_dir, "bucket=*"))
@@ -107,10 +108,18 @@ def stream_pages(
     schema: str,
     trigger_once: bool = True,
     dedup_watermark: str | None = None,
+    **pipeline_kwargs,
 ):
     """Structured Streaming variant: continuously arriving page files →
-    triples, exactly-once via Spark's own checkpointing; the batch plan is
-    reused verbatim inside foreachBatch.
+    triples; the batch plan is reused verbatim inside foreachBatch, and
+    ``pipeline_kwargs`` forward to score_candidates exactly like
+    run_resumable (scorer_backend, salt_partitions, splitter, ...).
+
+    Exactly-once OUTPUT: foreachBatch is an at-least-once contract (a
+    crash between the sink write and the checkpoint commit replays the
+    batch), so the write is made idempotent — each batch overwrites only
+    its own ``batch_id=`` partition (dynamic partition overwrite); a
+    replay rewrites identical rows instead of appending duplicates.
 
     ``dedup_watermark``: when set (e.g. "24 hours"), re-crawled/mirrored
     pages whose text fingerprint was already seen inside the horizon are
@@ -126,8 +135,17 @@ def stream_pages(
         stream = stream_dedup(stream, watermark=dedup_watermark)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        scored = score_candidates(batch_df, mesh_tree)
-        scored.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out_dir)
+        # mesh artifacts (gazetteer plan, isEmpty probe, dict collect)
+        # are memoized per mesh_tree inside score_candidates, so a
+        # long-running stream pays them once, not once per trigger
+        scored = score_candidates(batch_df, mesh_tree, **pipeline_kwargs)
+        (
+            scored.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -168,9 +168,19 @@ def stream_dedup(
     state never ages out.  Works identically on a batch frame (the
     watermark is a no-op there), which is how the test oracles it.
     """
-    from ..functions.text import normalize_ws
+    from ..functions.text import extract_text, normalize_ws
 
-    norm = normalize_ws(F.lower(F.col(text_col)))
+    # fingerprint the EXTRACTED content: html-only pages (text NULL) are
+    # legal input, and md5(NULL) rows all share one NULL key which
+    # dropDuplicates treats as equal — every html-only page after the
+    # first would silently vanish.  coalesce('') keeps truly-empty pages
+    # collapsing together (they ARE duplicates of nothing).
+    content = (
+        extract_text(F.col("html"), F.col(text_col))
+        if "html" in pages.columns
+        else F.col(text_col)
+    )
+    norm = F.coalesce(normalize_ws(F.lower(content)), F.lit(""))
     fp = pages.withColumn("_fp", F.md5(norm)).withWatermark(ts_col, watermark)
     if pages.isStreaming:
         deduped = fp.dropDuplicatesWithinWatermark(["_fp"])

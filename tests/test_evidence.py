@@ -73,6 +73,11 @@ def test_global_mode():
     row = select_evidence_py(**_mk(text, "lithium", "tremor"), extract_inter=False)
     assert row["evidence_type"] == "global"
     assert row["sentence"] == text
+    # the pair is still SCORED document-level: first-mention spans are
+    # emitted (document-absolute) so featurization does not drop the row
+    assert row["chem_start"] == text.find("lithium")
+    assert row["dis_start"] == text.find("tremor")
+    assert row["sent_pos"] is None
 
 
 def test_min_distance_tie_first_wins():

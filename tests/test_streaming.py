@@ -212,3 +212,25 @@ def test_stream_pages_with_dedup(spark, mesh, tmp_path):
     urls = {r["url"].split("?")[0] for r in scored.select("url").distinct().collect()}
     n_scored_pages = scored.select("url").distinct().count()
     assert n_scored_pages == len(urls)
+
+
+def test_stream_dedup_html_only_pages_not_collapsed(spark):
+    """Pages whose content lives only in html (text NULL) must NOT all
+    collapse onto one NULL fingerprint: the dedup key is the EXTRACTED
+    content.  (Batch frame drives the identical expression the
+    streaming state store keys on.)"""
+    from relation_extraction_cdr_spark.streaming.windows import stream_dedup
+
+    rows = [
+        (1, "2024-01-01 00:00:00", None, "<p>alpha content</p>"),
+        (2, "2024-01-01 00:01:00", None, "<p>beta content</p>"),
+        (3, "2024-01-01 00:02:00", None, "<p>alpha content</p>"),  # dup of 1
+        (4, "2024-01-01 00:03:00", "plain text page", None),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url long, warc_ts string, text string, html string"
+    ).withColumn("warc_ts", __import__("pyspark.sql.functions", fromlist=["col"]).col("warc_ts").cast("timestamp"))
+    kept = {r["url"] for r in stream_dedup(pages).collect()}
+    assert 1 in kept or 3 in kept
+    assert 2 in kept and 4 in kept
+    assert len(kept) == 3  # only the true duplicate collapsed
