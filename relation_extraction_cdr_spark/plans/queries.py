@@ -3732,3 +3732,274 @@ def q78(spark, sf_dir):
         .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# 14. round-2 additions: KG analytics (association lift, bounded BFS,
+#     snapshot diff) + ontology closure over the real MeSH hierarchy
+# ---------------------------------------------------------------------------
+
+@register(
+    "q79_cooc_lift",
+    f"""
+    WITH {_PAIRS_CTE},
+    pc AS (SELECT chem_mesh, dis_mesh, COUNT(*) AS n_cd FROM cooc GROUP BY 1, 2),
+    ec AS (SELECT mesh_id, COUNT(*) AS n FROM inv WHERE type = 'Chemical' GROUP BY 1),
+    ed AS (SELECT mesh_id, COUNT(*) AS n FROM inv WHERE type = 'Disease' GROUP BY 1),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT pc.chem_mesh, pc.dis_mesh,
+           CAST(pc.n_cd AS BIGINT) AS n_cd,
+           CAST(ec.n AS BIGINT) AS n_chem,
+           CAST(ed.n AS BIGINT) AS n_dis,
+           CAST((pc.n_cd * nd.n_docs * 1000000) // (ec.n * ed.n) AS BIGINT)
+             AS lift_ppm
+    FROM pc
+    JOIN ec ON ec.mesh_id = pc.chem_mesh
+    JOIN ed ON ed.mesh_id = pc.dis_mesh
+    CROSS JOIN nd
+    """,
+)
+def q79(spark, sf_dir):
+    """Association lift for co-occurring (chemical, disease) pairs — the
+    PMI-family relevance signal a KG ranks candidate triples by before
+    scoring (lift = P(c,d) / (P(c)P(d))).  Integer-exact: lift is
+    emitted as parts-per-million via pure BIGINT arithmetic
+    (n_cd * N * 1e6 div n_c * n_d) so no float log/division can drift
+    the cross-engine hash.  Shape at 100 TB: the pair aggregate is the
+    only corpus-scale shuffle; both marginal tables are entity-dimension
+    sized and broadcast."""
+    cooc = _doc_cooc(spark, sf_dir)
+    m = _doc_mentions(spark, sf_dir)
+    inv = m.select("url", "mesh_id", "type").distinct()
+    ec = (
+        inv.where(F.col("type") == "Chemical")
+        .groupBy("mesh_id")
+        .agg(F.count("*").alias("n_chem"))
+    )
+    ed = (
+        inv.where(F.col("type") == "Disease")
+        .groupBy("mesh_id")
+        .agg(F.count("*").alias("n_dis"))
+    )
+    t = _t(spark, sf_dir, "documents")
+    nd = t["documents"].agg(F.count("*").alias("n_docs"))
+    pc = cooc.groupBy("chem_mesh", "dis_mesh").agg(F.count("*").alias("n_cd"))
+    return (
+        pc.join(F.broadcast(ec), pc.chem_mesh == ec.mesh_id)
+        .drop("mesh_id")
+        .join(F.broadcast(ed), pc.dis_mesh == ed.mesh_id)
+        .drop("mesh_id")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "chem_mesh",
+            "dis_mesh",
+            F.col("n_cd").cast("long").alias("n_cd"),
+            F.col("n_chem").cast("long").alias("n_chem"),
+            F.col("n_dis").cast("long").alias("n_dis"),
+            F.expr("CAST((n_cd * n_docs * 1000000) DIV (n_chem * n_dis) AS BIGINT)")
+            .alias("lift_ppm"),
+        )
+    )
+
+
+@register(
+    "q80_neardup_bfs",
+    f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding, {_NORM_SQL('embedding')} AS nrm,
+                      {ANN.quantize_sql('embedding')} AS qv
+               FROM embeddings WHERE LEN(embedding) > 0),
+    eb AS (SELECT vec_id, embedding, nrm,
+                  {ANN.srp_bucket_sql('qv', n_planes=4)} AS bkt FROM e),
+    p AS (
+      SELECT x.vec_id AS a, y.vec_id AS b,
+             x.embedding AS va, y.embedding AS vb, x.nrm AS na, y.nrm AS nb
+      FROM eb x JOIN eb y ON x.bkt = y.bkt AND x.vec_id < y.vec_id),
+    ed0 AS (
+      SELECT a, b FROM (
+        SELECT a, b, ROUND({_PAIR_DOT_SQL} / (na * nb), 6) AS cos_sim FROM p)
+      WHERE cos_sim >= 0.35),
+    und AS (SELECT a, b FROM ed0 UNION SELECT b, a FROM ed0),
+    seed AS (SELECT MIN(a) AS node FROM und),
+    walk(node, hop) AS (
+      SELECT node, 0 FROM seed WHERE node IS NOT NULL
+      UNION
+      SELECT u.b, w.hop + 1 FROM walk w JOIN und u ON u.a = w.node
+      WHERE w.hop < 4)
+    SELECT CAST(node AS BIGINT) AS vec_id, CAST(MIN(hop) AS INT) AS hops
+    FROM walk GROUP BY node
+    """,
+)
+def q80(spark, sf_dir):
+    """Bounded BFS (<= 4 hops) over the SRP-LSH near-duplicate graph
+    from its smallest member — min-hop distance per reachable node, the
+    iterative-join graph traversal pattern (frontier expansion with a
+    per-level distinct, min-aggregated at the end; the oracle is a
+    recursive CTE).  Each level is one equi-join against the persisted
+    edge list; at 100 TB the frontier is a tiny fraction of the corpus
+    and the edge list is the LSH-banded near-dup output, never an
+    all-pairs product."""
+    from pyspark import StorageLevel
+
+    t = _t(spark, sf_dir, "embeddings")
+    ed0 = ANN.cosine_neardup_pairs(
+        t["embeddings"], threshold=0.35, n_planes=4
+    ).select("a", "b")
+    und = (
+        ed0.union(ed0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    seed = und.agg(F.min("a").alias("node")).where(F.col("node").isNotNull())
+    frontier = seed.select("node")
+    levels = [frontier.withColumn("hop", F.lit(0))]
+    for h in range(1, 5):
+        frontier = (
+            frontier.join(und, frontier.node == und.a)
+            .select(F.col("b").alias("node"))
+            .distinct()
+        )
+        levels.append(frontier.withColumn("hop", F.lit(h)))
+    allv = levels[0]
+    for lv in levels[1:]:
+        allv = allv.unionByName(lv)
+    return allv.groupBy("node").agg(F.min("hop").cast("int").alias("hops")).select(
+        F.col("node").cast("long").alias("vec_id"), "hops"
+    )
+
+
+@register(
+    "q81_triple_diff",
+    f"""
+    WITH {_PAIRS_CTE},
+    tag AS (SELECT doc_id, SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+            FROM documents),
+    c2 AS (SELECT c.doc_id, c.chem_mesh, c.dis_mesh, t.h
+           FROM cooc c JOIN tag t ON t.doc_id = c.doc_id),
+    agg AS (
+      SELECT chem_mesh, dis_mesh,
+             COUNT(CASE WHEN h < '8' THEN 1 END) AS s_old,
+             COUNT(CASE WHEN h >= '4' THEN 1 END) AS s_new
+      FROM c2 GROUP BY 1, 2)
+    SELECT chem_mesh AS subj, dis_mesh AS obj,
+           CAST(s_old AS BIGINT) AS support_old,
+           CAST(s_new AS BIGINT) AS support_new,
+           CASE WHEN s_old >= 2 AND s_new >= 2 THEN 'kept'
+                WHEN s_new >= 2 THEN 'added' ELSE 'removed' END AS status
+    FROM agg WHERE s_old >= 2 OR s_new >= 2
+    """,
+)
+def q81(spark, sf_dir):
+    """Incremental KG snapshot diff: two overlapping crawl snapshots
+    (md5-threshold document slices, like q34's deterministic split)
+    produce triple tables with the q30 support>=2 rule; the diff emits
+    added / removed / kept per triple.  Computed in ONE pass over the
+    co-occurrence stream with conditional aggregation — the incremental
+    -maintenance shape: at 100 TB you never materialize two full triple
+    tables to diff them, you tag rows by snapshot membership and fold
+    both supports in the same shuffle."""
+    cooc = _doc_cooc(spark, sf_dir)
+    h = F.substring(F.md5(F.col("url").cast("string")), 1, 1)
+    agg = (
+        cooc.withColumn("h", h)
+        .groupBy("chem_mesh", "dis_mesh")
+        .agg(
+            F.count(F.when(F.col("h") < "8", 1)).alias("s_old"),
+            F.count(F.when(F.col("h") >= "4", 1)).alias("s_new"),
+        )
+    )
+    return agg.where((F.col("s_old") >= 2) | (F.col("s_new") >= 2)).select(
+        F.col("chem_mesh").alias("subj"),
+        F.col("dis_mesh").alias("obj"),
+        F.col("s_old").cast("long").alias("support_old"),
+        F.col("s_new").cast("long").alias("support_new"),
+        F.when((F.col("s_old") >= 2) & (F.col("s_new") >= 2), "kept")
+        .when(F.col("s_new") >= 2, "added")
+        .otherwise("removed")
+        .alias("status"),
+    )
+
+
+# the real 57,840-row MeSH hierarchy (reference data_loaders/2017MeshTree.txt,
+# loaded by cdr_dataset.py:22-34) — public data shipped with the reference,
+# already exercised by tests/test_mesh_real.py
+_MESH_TSV = "/root/reference/data_loaders/2017MeshTree.txt"
+
+
+@register(
+    "q82_mesh_closure",
+    f"""
+    WITH mt AS (
+      SELECT "Tree Number" AS tn, "Desc Ui" AS mesh_id
+      FROM read_csv('{_MESH_TSV}', delim='\t', header=true,
+                    all_varchar=true)),
+    base AS (
+      SELECT mesh_id, COUNT(*) AS n_trees,
+             MAX(LEN(STRING_SPLIT(tn, '.'))) AS max_depth
+      FROM mt GROUP BY mesh_id),
+    pref AS (
+      SELECT mesh_id,
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(tn, '.'))),
+                    i -> ARRAY_TO_STRING(STRING_SPLIT(tn, '.')[1:i], '.')))
+               AS anc_tn
+      FROM mt),
+    anc AS (
+      SELECT p.mesh_id, COUNT(*) AS n_anc_edges,
+             COUNT(DISTINCT a.mesh_id) AS n_anc_ids
+      FROM pref p JOIN mt a ON a.tn = p.anc_tn
+      GROUP BY p.mesh_id)
+    SELECT b.mesh_id,
+           CAST(b.n_trees AS BIGINT) AS n_trees,
+           CAST(b.max_depth AS INT) AS max_depth,
+           CAST(COALESCE(a.n_anc_edges, 0) AS BIGINT) AS n_anc_edges,
+           CAST(COALESCE(a.n_anc_ids, 0) AS BIGINT) AS n_anc_ids
+    FROM base b LEFT JOIN anc a ON a.mesh_id = b.mesh_id
+    """,
+)
+def q82(spark, sf_dir):
+    """Ontology transitive closure over the REAL 57,840-row MeSH tree
+    (S3/A2 dimension): every tree number explodes to its dot-prefix
+    ancestor chain, resolved back to ancestor descriptor ids by an
+    equi-join on tree number — the canonical hierarchy-flattening pass
+    that turns Levi's per-pair prefix CONTAINS into a precomputed
+    closure table.  Per descriptor: tree count, max depth, ancestor
+    edges, distinct ancestor ids.  The tree is dimension-sized (few MB
+    broadcast); the closure explode is O(rows x depth<=11) — at 100 TB
+    this table is built once and broadcast to every hypernym join."""
+    from ..sources.mesh import read_mesh_tree
+
+    mesh = read_mesh_tree(spark, _MESH_TSV).select(
+        F.col("tree_number").alias("tn"), "mesh_id"
+    )
+    parts = F.split(F.col("tn"), "\\.")
+    base = mesh.groupBy("mesh_id").agg(
+        F.count("*").alias("n_trees"),
+        F.max(F.size(parts)).alias("max_depth"),
+    )
+    pref = (
+        mesh.where(F.size(parts) > 1)
+        .select(
+            "mesh_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(parts) - 1),
+                    lambda i: F.array_join(F.slice(parts, F.lit(1), i), "."),
+                )
+            ).alias("anc_tn"),
+        )
+    )
+    anc_dim = mesh.select(F.col("tn").alias("anc_tn"), F.col("mesh_id").alias("anc_id"))
+    anc = (
+        pref.join(F.broadcast(anc_dim), "anc_tn")
+        .groupBy("mesh_id")
+        .agg(
+            F.count("*").alias("n_anc_edges"),
+            F.countDistinct("anc_id").alias("n_anc_ids"),
+        )
+    )
+    return base.join(anc, "mesh_id", "left").select(
+        "mesh_id",
+        F.col("n_trees").cast("long").alias("n_trees"),
+        F.col("max_depth").cast("int").alias("max_depth"),
+        F.coalesce(F.col("n_anc_edges"), F.lit(0)).cast("long").alias("n_anc_edges"),
+        F.coalesce(F.col("n_anc_ids"), F.lit(0)).cast("long").alias("n_anc_ids"),
+    )

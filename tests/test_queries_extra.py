@@ -60,7 +60,7 @@ def test_round2_queries_survive_empty_corpus(spark, tmp_path):
     import os
 
     d = str(tmp_path)
-    for name in ("documents", "events", "lineitem", "supplier", "orders"):
+    for name in ("documents", "events", "lineitem", "supplier", "orders", "embeddings"):
         src = spark.read.parquet(f"/root/testdata/sf0.001/{name}.parquet")
         src.limit(0).write.parquet(os.path.join(d, f"{name}.parquet"))
     for q in [
@@ -69,5 +69,123 @@ def test_round2_queries_survive_empty_corpus(spark, tmp_path):
         "q67_source_mixture", "q68_neardup_triangles", "q69_hll_registers",
         "q70_countmin_heavy_hitters", "q71_balanced_mixture_sample",
         "q72_lsh_first_owner", "q73_blame_unique_supplier",
+        "q79_cooc_lift", "q80_neardup_bfs", "q81_triple_diff",
     ]:
         assert QUERIES[q](spark, d).count() == 0, q
+
+
+def test_lift_is_exact_integer_arithmetic(spark):
+    """q79: lift_ppm must equal the pure-integer recomputation from its
+    own marginals, and a pair can never co-occur in more documents than
+    either endpoint appears in."""
+    rows = QUERIES["q79_cooc_lift"](spark, SF_DIR).collect()
+    n_docs = spark.sql("SELECT COUNT(*) AS n FROM documents").collect()[0]["n"]
+    assert rows
+    for r in rows:
+        assert r["n_cd"] <= min(r["n_chem"], r["n_dis"]), r
+        assert r["lift_ppm"] == (r["n_cd"] * n_docs * 1_000_000) // (
+            r["n_chem"] * r["n_dis"]
+        ), r
+
+
+def test_bfs_hops_are_valid_distances(spark):
+    """q80: exactly one hop-0 node (the minimum member of the edge set),
+    and every node at hop h>0 has a neighbor at hop h-1 (the defining
+    BFS-layer invariant)."""
+    from relation_extraction_cdr_spark.operators import ann as ANN
+    from relation_extraction_cdr_spark.session import load_tables
+
+    rows = QUERIES["q80_neardup_bfs"](spark, SF_DIR).collect()
+    assert rows
+    dist = {r["vec_id"]: r["hops"] for r in rows}
+    emb = load_tables(spark, SF_DIR, ["embeddings"])["embeddings"]
+    edges = [
+        (r["a"], r["b"])
+        for r in ANN.cosine_neardup_pairs(emb, threshold=0.35, n_planes=4)
+        .select("a", "b")
+        .collect()
+    ]
+    nodes = {n for e in edges for n in e}
+    adj: dict = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    roots = [n for n, h in dist.items() if h == 0]
+    assert roots == [min(nodes)]
+    for n, h in dist.items():
+        if h > 0:
+            assert any(dist.get(m) == h - 1 for m in adj[n]), (n, h)
+
+
+def test_triple_diff_matches_per_snapshot_recompute(spark):
+    """q81's one-pass conditional aggregation must agree with the naive
+    two-snapshot recompute (filter docs, re-aggregate, diff)."""
+    import hashlib
+
+    from relation_extraction_cdr_spark.plans.queries import _doc_cooc
+
+    cooc = _doc_cooc(spark, SF_DIR).collect()
+
+    def support(pred):
+        sup: dict = {}
+        for r in cooc:
+            if pred(hashlib.md5(str(r["url"]).encode()).hexdigest()[0]):
+                k = (r["chem_mesh"], r["dis_mesh"])
+                sup[k] = sup.get(k, 0) + 1
+        return sup
+
+    old = support(lambda h: h < "8")
+    new = support(lambda h: h >= "4")
+    expect = {}
+    for k in set(old) | set(new):
+        s_old, s_new = old.get(k, 0), new.get(k, 0)
+        if s_old >= 2 or s_new >= 2:
+            status = (
+                "kept" if s_old >= 2 and s_new >= 2
+                else "added" if s_new >= 2 else "removed"
+            )
+            expect[k] = (s_old, s_new, status)
+    got = {
+        (r["subj"], r["obj"]): (r["support_old"], r["support_new"], r["status"])
+        for r in QUERIES["q81_triple_diff"](spark, SF_DIR).collect()
+    }
+    assert got == expect and got
+
+
+def test_mesh_closure_against_python_recompute(spark):
+    """q82 over the real 57,840-row MeSH tree: structural invariants on
+    the full output plus an exact recompute of the ancestor closure for
+    a deterministic 200-descriptor sample."""
+    rows = QUERIES["q82_mesh_closure"](spark, SF_DIR).collect()
+    by_id = {r["mesh_id"]: r for r in rows}
+    assert len(rows) == len(by_id)  # one row per descriptor
+
+    trees: dict = {}
+    owner: dict = {}
+    with open("/root/reference/data_loaders/2017MeshTree.txt") as fh:
+        next(fh)
+        for line in fh:
+            tn, mid, _term = line.rstrip("\n").split("\t", 2)
+            trees.setdefault(mid, []).append(tn)
+            owner[tn] = mid
+    assert len(rows) == len(trees)
+
+    for r in rows:
+        assert r["n_anc_ids"] <= r["n_anc_edges"]
+        if r["max_depth"] == 1 and r["n_trees"] == 1:
+            assert r["n_anc_edges"] == 0
+
+    for mid in sorted(trees)[::len(trees) // 200]:
+        edges, anc_ids = 0, set()
+        for tn in trees[mid]:
+            parts = tn.split(".")
+            for i in range(1, len(parts)):
+                p = ".".join(parts[:i])
+                if p in owner:
+                    edges += 1
+                    anc_ids.add(owner[p])
+        r = by_id[mid]
+        assert r["n_trees"] == len(trees[mid]), mid
+        assert r["max_depth"] == max(len(t.split(".")) for t in trees[mid]), mid
+        assert r["n_anc_edges"] == edges, mid
+        assert r["n_anc_ids"] == len(anc_ids), mid
