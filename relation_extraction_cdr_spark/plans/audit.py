@@ -258,6 +258,25 @@ EXPECTATIONS: dict[str, dict[str, tuple[str, int]]] = {
         "sort_merge_joins": ("==", 0),
         "partial_aggs": (">=", 2),
     },
+    # lift: the pair aggregate is the only corpus-scale shuffle; both
+    # marginals and the N scalar come in broadcast (the BNLJ is the
+    # 1-row count crossJoin)
+    "q79_cooc_lift": {
+        "broadcast_hash_joins": (">=", 2),
+        "partial_aggs": (">=", 1),
+    },
+    # BFS: every frontier expansion broadcasts the frontier against the
+    # persisted edge list — a sort-merge level would shuffle the edges
+    # once per hop
+    "q80_neardup_bfs": {"sort_merge_joins": ("==", 0)},
+    # snapshot diff: ONE conditional aggregation over the tagged stream,
+    # never two triple tables joined
+    "q81_triple_diff": {"partial_aggs": (">=", 1)},
+    # ontology closure: the tree is a dimension — every join broadcast
+    "q82_mesh_closure": {
+        "broadcast_hash_joins": (">=", 2),
+        "sort_merge_joins": ("==", 0),
+    },
 }
 
 _OPS = {

@@ -3853,8 +3853,10 @@ def q80(spark, sf_dir):
     frontier = seed.select("node")
     levels = [frontier.withColumn("hop", F.lit(0))]
     for h in range(1, 5):
+        # the frontier is a vanishing fraction of the corpus: broadcast
+        # it so the persisted edge list is never shuffled per level
         frontier = (
-            frontier.join(und, frontier.node == und.a)
+            und.join(F.broadcast(frontier), und.a == F.col("node"))
             .select(F.col("b").alias("node"))
             .distinct()
         )
@@ -3996,7 +3998,7 @@ def q82(spark, sf_dir):
             F.countDistinct("anc_id").alias("n_anc_ids"),
         )
     )
-    return base.join(anc, "mesh_id", "left").select(
+    return base.join(F.broadcast(anc), "mesh_id", "left").select(
         "mesh_id",
         F.col("n_trees").cast("long").alias("n_trees"),
         F.col("max_depth").cast("int").alias("max_depth"),
