@@ -277,6 +277,21 @@ EXPECTATIONS: dict[str, dict[str, tuple[str, int]]] = {
         "broadcast_hash_joins": (">=", 2),
         "sort_merge_joins": ("==", 0),
     },
+    # canonicalization: surface/entity aggregates join broadcast on the
+    # entity dimension; the mention stream shuffles once per aggregate
+    "q83_entity_canonical": {
+        "broadcast_hash_joins": (">=", 1),
+        "partial_aggs": (">=", 1),
+    },
+    # provenance rides the same single triple shuffle as q30
+    "q84_triple_provenance": {"partial_aggs": (">=", 1)},
+    # tf-idf: two map-side-combined aggregates; the tf/df join is
+    # vocab x vocab (post-aggregation), deliberately NOT broadcast —
+    # the term dimension is Heaps'-law sized at web scale
+    "q85_distinctive_terms": {
+        "partial_aggs": (">=", 2),
+        "cartesian_products": ("==", 0),
+    },
 }
 
 _OPS = {

@@ -4005,3 +4005,160 @@ def q82(spark, sf_dir):
         F.coalesce(F.col("n_anc_edges"), F.lit(0)).cast("long").alias("n_anc_edges"),
         F.coalesce(F.col("n_anc_ids"), F.lit(0)).cast("long").alias("n_anc_ids"),
     )
+
+
+@register(
+    "q83_entity_canonical",
+    f"""
+    WITH {_MENTIONS_CTE},
+    surf AS (
+      SELECT mesh_id, type, mention_text,
+             COUNT(*) AS n, COUNT(DISTINCT doc_id) AS nd
+      FROM mentions GROUP BY 1, 2, 3),
+    ent AS (
+      SELECT mesh_id, COUNT(*) AS n_mentions,
+             COUNT(DISTINCT doc_id) AS n_docs,
+             COUNT(DISTINCT mention_text) AS n_surfaces
+      FROM mentions GROUP BY 1),
+    canon AS (
+      SELECT mesh_id, type, mention_text AS canonical_text FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY mesh_id
+                    ORDER BY n DESC, mention_text ASC) AS rn
+        FROM surf) WHERE rn = 1)
+    SELECT c.mesh_id, c.type, c.canonical_text,
+           CAST(e.n_mentions AS BIGINT) AS n_mentions,
+           CAST(e.n_docs AS BIGINT) AS n_docs,
+           CAST(e.n_surfaces AS BIGINT) AS n_surfaces
+    FROM canon c JOIN ent e ON e.mesh_id = c.mesh_id
+    """,
+)
+def q83(spark, sf_dir):
+    """Corpus-level entity canonicalization (the north-rule
+    'canonicalize to MeSH IDs' step made explicit): per entity, the
+    most frequent surface form wins (ties break lexicographically — a
+    total order, unlike the reference's per-document last-mention-wins
+    overwrite at cdr_dataset.py:72-75) plus mention/document/surface
+    counts.  One aggregation over the mention stream + a per-entity
+    window on the entity-dimension-sized surface table."""
+    m = _doc_mentions(spark, sf_dir)
+    surf = m.groupBy("mesh_id", "type", "mention_text").agg(
+        F.count("*").alias("n")
+    )
+    ent = m.groupBy("mesh_id").agg(
+        F.count("*").alias("n_mentions"),
+        F.countDistinct("url").alias("n_docs"),
+        F.countDistinct("mention_text").alias("n_surfaces"),
+    )
+    w = Window.partitionBy("mesh_id").orderBy(
+        F.desc("n"), F.asc("mention_text")
+    )
+    canon = (
+        surf.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("mesh_id", "type", F.col("mention_text").alias("canonical_text"))
+    )
+    return canon.join(F.broadcast(ent), "mesh_id").select(
+        "mesh_id",
+        "type",
+        "canonical_text",
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_surfaces").cast("long").alias("n_surfaces"),
+    )
+
+
+@register(
+    "q84_triple_provenance",
+    f"""
+    WITH {_PAIRS_CTE}
+    SELECT chem_mesh AS subj, dis_mesh AS obj,
+           CAST(COUNT(*) AS BIGINT) AS support,
+           STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             AS evidence_docs
+    FROM cooc GROUP BY chem_mesh, dis_mesh HAVING COUNT(*) >= 2
+    """,
+)
+def q84(spark, sf_dir):
+    """Triple provenance: every emitted triple carries its sorted
+    supporting-document list — the per-triple lineage a KG needs for
+    audit/retraction (north rule: 'per-partition lineage rows').  Doc
+    ids sort NUMERICALLY before string-joining (a lexicographic sort of
+    stringified ids would order 10 before 2 and hash-split the
+    engines).  Same single shuffle as the q30 triple materialization;
+    the evidence list is bounded by per-pair support, not corpus
+    size."""
+    cooc = _doc_cooc(spark, sf_dir)
+    return (
+        cooc.groupBy("chem_mesh", "dis_mesh")
+        .agg(
+            F.count("*").alias("support"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("url")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("evidence_docs"),
+        )
+        .where(F.col("support") >= 2)
+        .select(
+            F.col("chem_mesh").alias("subj"),
+            F.col("dis_mesh").alias("obj"),
+            F.col("support").cast("long").alias("support"),
+            "evidence_docs",
+        )
+    )
+
+
+@register(
+    "q85_distinctive_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w
+      FROM documents),
+    tf AS (SELECT source, w, COUNT(*) AS tf FROM toks WHERE w <> '' GROUP BY 1, 2),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM toks WHERE w <> '' GROUP BY 1),
+    scored AS (
+      SELECT tf.source, tf.w AS word,
+             CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+             (tf.tf * 1000000) // df.df AS score_ppm
+      FROM tf JOIN df ON df.w = tf.w)
+    SELECT source, word, tf, df, CAST(score_ppm AS BIGINT) AS score_ppm FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY score_ppm DESC, word ASC) AS rn
+      FROM scored) WHERE rn <= 5
+    """,
+)
+def q85(spark, sf_dir):
+    """Distinctive terms per source (keyword extraction / TF-IDF
+    family): per-source term frequency over inverse document frequency
+    as integer parts-per-million — no float log, so the ranking is
+    engine-exact — top-5 per source with a total-order tiebreak.  Two
+    map-side-combined aggregates over one tokenization pass; the
+    document-frequency table joins back on the term key.  Deliberately
+    NOT broadcast: at open-vocabulary web scale the distinct-term
+    dimension is Heaps'-law sized (10^8-10^9 terms at 10^13 tokens),
+    far past broadcast range — but both join sides are POST-aggregation
+    vocab-sized tables, so the term-key shuffle join touches no
+    corpus-scale data."""
+    t = _t(spark, sf_dir, "documents")
+    toks = t["documents"].select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower("text"), " ")).alias("w"),
+    ).where(F.col("w") != "")
+    tf = toks.groupBy("source", "w").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "w").select(
+        "source",
+        F.col("w").alias("word"),
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.expr("CAST((tf * 1000000) DIV df AS BIGINT)").alias("score_ppm"),
+    )
+    w_rank = Window.partitionBy("source").orderBy(F.desc("score_ppm"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )

@@ -189,3 +189,74 @@ def test_mesh_closure_against_python_recompute(spark):
         assert r["max_depth"] == max(len(t.split(".")) for t in trees[mid]), mid
         assert r["n_anc_edges"] == edges, mid
         assert r["n_anc_ids"] == len(anc_ids), mid
+
+
+def test_entity_canonical_is_frequency_argmax(spark):
+    """q83: canonical surface must be the (count desc, text asc) argmax
+    of the q28 mention stream, and the per-entity counts must match a
+    Python recompute."""
+    mentions = QUERIES["q28_cdr_mentions"](spark, SF_DIR).collect()
+    surf: dict = {}
+    docs: dict = {}
+    texts: dict = {}
+    for m in mentions:
+        k = m["mesh_id"]
+        surf[(k, m["mention_text"])] = surf.get((k, m["mention_text"]), 0) + 1
+        docs.setdefault(k, set()).add(m["doc_id"])
+        texts.setdefault(k, set()).add(m["mention_text"])
+    rows = QUERIES["q83_entity_canonical"](spark, SF_DIR).collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        k = r["mesh_id"]
+        best = min(
+            ((t, n) for (kk, t), n in surf.items() if kk == k),
+            key=lambda tn: (-tn[1], tn[0]),
+        )
+        assert r["canonical_text"] == best[0], (k, best)
+        assert r["n_docs"] == len(docs[k])
+        assert r["n_surfaces"] == len(texts[k])
+        assert r["n_mentions"] == sum(n for (kk, _), n in surf.items() if kk == k)
+
+
+def test_triple_provenance_lists_supporting_docs(spark):
+    """q84: the evidence list has exactly `support` numerically-sorted
+    doc ids and agrees with the co-occurrence stream; triples match the
+    q30 support>=2 rule."""
+    from relation_extraction_cdr_spark.plans.queries import _doc_cooc
+
+    cooc: dict = {}
+    for r in _doc_cooc(spark, SF_DIR).collect():
+        cooc.setdefault((r["chem_mesh"], r["dis_mesh"]), []).append(r["url"])
+    rows = QUERIES["q84_triple_provenance"](spark, SF_DIR).collect()
+    expect = {k: sorted(v) for k, v in cooc.items() if len(v) >= 2}
+    got = {(r["subj"], r["obj"]): r for r in rows}
+    assert set(got) == set(expect)
+    for k, r in got.items():
+        ids = [int(x) for x in r["evidence_docs"].split(",")]
+        assert ids == expect[k] and len(ids) == r["support"]
+
+
+def test_distinctive_terms_is_true_topk(spark):
+    """q85: per source, the reported 5 terms are exactly the top-5 of
+    the full integer-exact (tf*1e6)//df ranking recomputed in Python."""
+    docs = spark.sql("SELECT doc_id, source, lower(text) AS t FROM documents").collect()
+    tf: dict = {}
+    dfc: dict = {}
+    for d in docs:
+        ws = [w for w in d["t"].split(" ") if w]
+        for w in ws:
+            tf[(d["source"], w)] = tf.get((d["source"], w), 0) + 1
+        for w in set(ws):
+            dfc[w] = dfc.get(w, 0) + 1
+    best: dict = {}
+    for (src, w), n in tf.items():
+        best.setdefault(src, []).append(((n * 1_000_000) // dfc[w], w, n))
+    rows = QUERIES["q85_distinctive_terms"](spark, SF_DIR).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == set(best)
+    for src, rs in by_src.items():
+        want = sorted(best[src], key=lambda x: (-x[0], x[1]))[:5]
+        got = [(r["score_ppm"], r["word"], r["tf"]) for r in rs]
+        assert sorted(got, key=lambda x: (-x[0], x[1])) == want, src
