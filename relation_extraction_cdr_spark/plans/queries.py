@@ -4162,3 +4162,58 @@ def q85(spark, sf_dir):
         .where(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+@register("q86_head_training")  # rows-only: encoder+optimizer kernels not SQL-expressible
+def q86(spark, sf_dir):
+    """Distributed pair-head training end-to-end (SURVEY §2.9 M4/M5,
+    scoring/train.py): seeded synthetic CDR corpus -> mentions ->
+    candidates -> evidence -> features -> frozen-encoder pooling
+    (mapInPandas) -> 3 full-batch epochs of the reference AdamW update
+    rule with integer-exact gradient aggregation.  One row per epoch:
+    (epoch, loss_q, n_valid, params_checksum) — loss_q is the EXACT
+    int64 fixed-point loss sum (units 1/Q_LOSS) and params_checksum the
+    int64 sum of the final quantized weights, so the output is
+    bit-deterministic at any parallelism (the pytest-proven invariant);
+    value parity vs the single-process literal twin is enforced by
+    tests/test_train.py.  Spark==oracle value-hash is impossible here
+    (DuckDB cannot run the encoder), hence rows-only."""
+    import numpy as np
+
+    from .. import datagen
+    from ..operators.candidates import candidate_pairs, label_pairs
+    from ..operators.evidence import select_evidence
+    from ..operators.features import featurize
+    from ..operators.mentions import detect_mentions, entity_inventory
+    from ..scoring.electra import ElectraConfig
+    from ..scoring.train import Q_LOSS, pool_features, train_pair_head
+    from .pipeline import _mesh_artifacts, extracted_docs
+
+    n_docs = 80 if "0.1" in sf_dir else 40
+    pages, _gm, gold = datagen.gen_fixture_dfs(spark, n_docs)
+    docs = extracted_docs(pages)
+    gaz, _gd, _mw = _mesh_artifacts(datagen.mesh_df(spark), "type")
+    inv = entity_inventory(detect_mentions(docs, gaz))
+    pairs = label_pairs(candidate_pairs(inv), gold)
+    feats = featurize(select_evidence(pairs.join(docs, "url")))
+    cfg = ElectraConfig(
+        vocab_size=30524, embedding_size=32, hidden_size=32,
+        num_hidden_layers=2, num_attention_heads=2, intermediate_size=64,
+    )
+    pooled = pool_features(feats, config=cfg, seed=9)
+    res = train_pair_head(
+        pooled, epochs=3, optimizer="adamw", ignore_index=None, seed=2
+    )
+    checksum = int(
+        sum(
+            int(np.rint(p.astype(np.float64) * (1 << 14)).astype(np.int64).sum())
+            for _, p in res.params.tensors()
+        )
+    )
+    rows = [
+        (e, int(round(loss * res.n_valid * Q_LOSS)), res.n_valid, checksum)
+        for e, loss in enumerate(res.losses)
+    ]
+    return spark.createDataFrame(
+        rows, "epoch int, loss_q long, n_valid long, params_checksum long"
+    )

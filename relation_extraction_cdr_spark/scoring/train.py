@@ -40,11 +40,24 @@ Design (and why it scales to 10^12 docs / 1000 executors):
 
    Overflow budget: per-partition int64 accumulation of
    ``Q_FEAT × Q_GRAD`` products bounds at ``|feat|·|dz| · 2^(14+16)``
-   ≈ 2^41 per row pair-product (|feat|≲2^7, |dz|≤1), so a single
-   partition holds ≥ 2^22 ≈ 4M rows with 2^63 headroom ≥ 2^41·2^22 =
-   2^63 — size executor partitions ≤ ~1M rows (they are: Arrow batches
-   are 4096 and partitions target ≤ 128 MB); the cross-partition sum is
+   ≈ 2^40 per row pair-product (|feat|≲2^7, |dz|≲4), so a single
+   partition holds ≈ 2^22 ≈ 4M rows within 2^63 headroom — size
+   executor partitions ≤ ~1M rows (they are: Arrow batches are 4096 and
+   partitions target ≤ 128 MB); the cross-partition sum is
    decimal(38,0) (10^38 ≈ 2^126), safe past 10^12 rows.
+
+   Why even the FORWARD matmuls are integer: float32 GEMM is not
+   bit-stable across matrix shapes (BLAS dispatches different kernels /
+   K-blockings for different N — a 1-row partition and a 4096-row
+   partition could round the same row differently), so the head forward
+   quantizes the weights once per step (Q_W) and runs the row×weight
+   products as int64 matmuls too; only per-element (row-local) ops stay
+   float.  numpy integer matmul bypasses BLAS and is exact, making the
+   whole gradient bit-independent of batching.  This is
+   quantization-aware training with documented quanta (~6e-5), applied
+   identically in the single-process literal twin — the optimizer's
+   master weights remain float32 with the reference's exact update
+   rules.
 
 Deliberate, documented divergences from the reference loop:
 - **Full-batch steps** instead of shuffled minibatches of 8: the
@@ -91,16 +104,19 @@ from .electra import (
     DEFAULT_CONFIG,
     ElectraConfig,
     ElectraWeights,
+    _erf,
     encoder_forward,
     first_token_pool,
     gelu,
 )
 
 # fixed-point scales: feat/activation lane 2^14 (quantum 6e-5 on values
-# |x| ≲ 128), gradient lane 2^16 (quantum 1.5e-5 on values |dz| ≤ 1+wd)
+# |x| ≲ 128), gradient lane 2^16 (quantum 1.5e-5 on values |dz| ≲ 4),
+# weight lane 2^14 (quantum 6e-5 on |w| ≲ 2)
 Q_FEAT = 1 << 14
 Q_GRAD = 1 << 16
 Q_LOSS = 1 << 16
+Q_W = 1 << 14
 CHUNK = 8192  # flat-gradient chunk length per aggregation row
 
 POOLED_SCHEMA = (
@@ -239,12 +255,10 @@ class HeadParams:
 
 
 def _gelu_prime(x: np.ndarray) -> np.ndarray:
-    """d/dx [x * Phi(x)] = Phi(x) + x * phi(x); Phi via the module gelu
-    (gelu(x)/x is unstable at 0 — use the erf form directly)."""
-    # gelu(x) = x * Phi(x) with Phi from the same erf approximation the
-    # forward uses, so forward/backward stay mutually consistent
-    phi = np.exp(-0.5 * x * x, dtype=np.float32) / np.float32(math.sqrt(2 * math.pi))
-    big_phi = np.where(x != 0, gelu(x) / np.where(x == 0, 1, x), 0.5).astype(np.float32)
+    """d/dx [x * Phi(x)] = Phi(x) + x * phi(x), Phi from the same erf
+    approximation the forward gelu uses (forward/backward consistent)."""
+    big_phi = 0.5 * (1.0 + _erf(x / np.sqrt(2.0)))
+    phi = np.exp(-0.5 * x * x) / np.sqrt(2.0 * np.pi)
     return big_phi + x * phi
 
 
@@ -253,33 +267,37 @@ def head_grad_ints(
 ) -> tuple[np.ndarray, int, int]:
     """Exact-integer gradient contribution of a row block.
 
-    Per-row math is float32 (row-independent → partition-invariant);
-    every cross-row reduction happens AFTER per-row quantization, as
-    int64 matmul/sum — bit-identical under any row partitioning.
-    Returns (flat int64 grad in units of 1/(Q_FEAT*Q_GRAD) with
-    sum-reduction, loss_q in units of 1/Q_LOSS, n_valid).
+    EVERY reduction over an axis -- forward row-times-weight products
+    AND backward cross-row sums -- is an int64 matmul/sum over
+    per-element quantized operands (numpy integer matmul bypasses BLAS:
+    exact, so bit-identical under any row partitioning or batch size).
+    Only strictly per-element math (bias add, gelu, softmax, quantize)
+    is float, in float64.  Returns (flat int64 grad in units of
+    1/(Q_FEAT*Q_GRAD) with sum-reduction, loss_q in units of 1/Q_LOSS,
+    n_valid).
     """
     n = len(labels)
-    valid = (
-        np.ones(n, bool) if ignore_index is None else labels != ignore_index
-    )
-    z1 = feat @ hp.w1 + hp.b1
+    valid = np.ones(n, bool) if ignore_index is None else labels != ignore_index
+
+    w1_q = np.rint(hp.w1.astype(np.float64) * Q_W).astype(np.int64)
+    w2_q = np.rint(hp.w2.astype(np.float64) * Q_W).astype(np.int64)
+    feat_q = np.rint(feat.astype(np.float64) * Q_FEAT).astype(np.int64)
+
+    z1 = (feat_q @ w1_q) / (float(Q_FEAT) * Q_W) + hp.b1.astype(np.float64)
     a = gelu(z1)
-    z2 = a @ hp.w2 + hp.b2
+    a_q = np.rint(a * Q_FEAT).astype(np.int64)
+    z2 = (a_q @ w2_q) / (float(Q_FEAT) * Q_W) + hp.b2.astype(np.float64)
+
     m = z2.max(axis=1, keepdims=True)
-    ez = np.exp(z2 - m, dtype=np.float32)
+    ez = np.exp(z2 - m)
     p = ez / ez.sum(axis=1, keepdims=True)
     g2 = p.copy()
     g2[np.arange(n), labels] -= 1.0
     g2[~valid] = 0.0
-    da = g2 @ hp.w2.T
-    dz1 = (da * _gelu_prime(z1)).astype(np.float32)
-
-    # per-row quantization, then integer reductions
-    feat_q = np.rint(feat.astype(np.float64) * Q_FEAT).astype(np.int64)
-    a_q = np.rint(a.astype(np.float64) * Q_FEAT).astype(np.int64)
-    g2_q = np.rint(g2.astype(np.float64) * Q_GRAD).astype(np.int64)
-    dz1_q = np.rint(dz1.astype(np.float64) * Q_GRAD).astype(np.int64)
+    g2_q = np.rint(g2 * Q_GRAD).astype(np.int64)
+    da = (g2_q @ w2_q.T) / (float(Q_GRAD) * Q_W)
+    dz1 = da * _gelu_prime(z1)
+    dz1_q = np.rint(dz1 * Q_GRAD).astype(np.int64)
 
     dw1 = feat_q.T @ dz1_q  # [2E,2E] int64, exact
     db1 = dz1_q.sum(axis=0) * Q_FEAT  # unify units to Q_FEAT*Q_GRAD
@@ -289,7 +307,7 @@ def head_grad_ints(
     with np.errstate(divide="ignore"):
         logp = np.log(p[np.arange(n), labels])
     loss_rows = np.where(valid, -logp, 0.0)
-    loss_q = int(np.rint(loss_rows.astype(np.float64) * Q_LOSS).astype(np.int64).sum())
+    loss_q = int(np.rint(loss_rows * Q_LOSS).astype(np.int64).sum())
     flat = np.concatenate([dw1.ravel(), db1, dw2.ravel(), db2])
     return flat, loss_q, int(valid.sum())
 
