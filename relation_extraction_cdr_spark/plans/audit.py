@@ -292,6 +292,10 @@ EXPECTATIONS: dict[str, dict[str, tuple[str, int]]] = {
         "partial_aggs": (">=", 2),
         "cartesian_products": ("==", 0),
     },
+    # the returned frame is a LocalTableScan of driver-side epoch rows;
+    # the training job's own plan (one exchange for the chunk-keyed
+    # gradient fold) is asserted in tests/test_train.py
+    "q86_head_training": {"exchanges": ("==", 0), "sort_merge_joins": ("==", 0)},
 }
 
 _OPS = {

@@ -357,12 +357,13 @@ def head_grad_rows(
     return pooled.mapInPandas(run, schema=GRAD_ROW_SCHEMA)
 
 
-def aggregate_grads(rows: DataFrame, flat_size: int) -> tuple[np.ndarray, float, int]:
-    """groupBy(chunk) fold in decimal(38,0) (overflow-proof, exact),
-    collect only n_chunks rows.  Returns (flat int sums as float64
-    array in Q_FEAT*Q_GRAD units, loss_q sum, n_valid sum)."""
+def grad_agg_frame(rows: DataFrame) -> DataFrame:
+    """The allreduce as a logical plan: groupBy(chunk) fold in
+    decimal(38,0).  Exactly ONE exchange, keyed on chunk — shuffle
+    volume is n_partitions × n_chunks rows regardless of corpus size
+    (plan contract asserted in tests/test_train.py)."""
     zero = F.array_repeat(F.lit(0).cast("decimal(38,0)"), CHUNK)
-    agg = rows.groupBy("chunk").agg(
+    return rows.groupBy("chunk").agg(
         F.aggregate(
             F.collect_list("g"),
             zero,
@@ -371,7 +372,13 @@ def aggregate_grads(rows: DataFrame, flat_size: int) -> tuple[np.ndarray, float,
         F.sum(F.col("loss_q").cast("decimal(38,0)")).alias("loss_q"),
         F.sum("n_valid").alias("n_valid"),
     )
-    out = agg.collect()
+
+
+def aggregate_grads(rows: DataFrame, flat_size: int) -> tuple[np.ndarray, float, int]:
+    """Run the fold, collect only n_chunks rows.  Returns (flat int
+    sums as float64 array in Q_FEAT*Q_GRAD units, loss_q sum,
+    n_valid sum)."""
+    out = grad_agg_frame(rows).collect()
     n_chunks = (flat_size + CHUNK - 1) // CHUNK
     flat = np.zeros(n_chunks * CHUNK, np.float64)
     loss_q = 0

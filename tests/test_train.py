@@ -96,6 +96,32 @@ class TestSparkVsLiteral:
         assert acc > 0.7
 
 
+class TestPlan:
+    def test_grad_allreduce_single_exchange(self, spark):
+        """The gradient fold is allreduce-as-aggregation: ONE exchange
+        keyed on chunk (shuffle volume n_partitions × n_chunks rows,
+        independent of corpus size), no joins, and the per-partition
+        kernel is a single Arrow python stage."""
+        from relation_extraction_cdr_spark.plans.audit import plan_facts
+        from relation_extraction_cdr_spark.scoring.train import (
+            grad_agg_frame,
+            head_grad_rows,
+        )
+
+        feat, labels = _synth(n=64, seed=19)
+        rows = [
+            (f"u{i}", "C1", "D1", int(labels[i]), [float(x) for x in feat[i]])
+            for i in range(len(labels))
+        ]
+        df = spark.createDataFrame(rows, POOLED_SCHEMA)  # no input repartition
+        hp = HeadParams.seeded(feat.shape[1], seed=0)
+        facts = plan_facts(grad_agg_frame(head_grad_rows(df, hp, None)))
+        assert facts.exchanges == 1
+        assert facts.broadcast_hash_joins == 0
+        assert facts.sort_merge_joins == 0
+        assert facts.cartesian_products == 0
+
+
 class TestKernel:
     def test_split_additivity(self):
         """kernel(A) + kernel(B) == kernel(A ++ B) — the property that
