@@ -259,26 +259,39 @@ def score_candidates(
     ids pad = tokenizer pad id, mask pad = -1), encoder once per batch,
     first-token pooling per row, pair head.  Returns [N, 2] logits."""
     n = len(token_ids)
+    hs = w.config.hidden_size
     out = np.zeros((n, 2), np.float32)
     for lo in range(0, n, batch_size):
         hi = min(lo + batch_size, n)
-        t = max(len(token_ids[j]) for j in range(lo, hi))
-        ids = np.full((hi - lo, t), pad_id, np.int64)
-        att = np.zeros((hi - lo, t), np.float32)
-        msk = np.full((hi - lo, t), -1, np.int64)
-        for r, j in enumerate(range(lo, hi)):
-            L = len(token_ids[j])
-            ids[r, :L] = token_ids[j]
-            att[r, :L] = 1.0
-            msk[r, :L] = entity_masks[j]
+        b = hi - lo
+        # vectorized pad+stack — bit-identical arrays to the row-loop
+        # construction (equal-length fast path for pre-truncated input)
+        lens = np.fromiter((len(x) for x in token_ids[lo:hi]), np.int64, b)
+        t = int(lens.max())
+        if int(lens.min()) == t:
+            ids = np.asarray(token_ids[lo:hi], np.int64).reshape(b, t)
+            att = np.ones((b, t), np.float32)
+            msk = np.asarray(entity_masks[lo:hi], np.int64).reshape(b, t)
+        else:
+            valid = np.arange(t) < lens[:, None]
+            ids = np.full((b, t), pad_id, np.int64)
+            ids[valid] = np.concatenate(
+                [np.asarray(x, np.int64) for x in token_ids[lo:hi]]
+            )
+            att = valid.astype(np.float32)
+            msk = np.full((b, t), -1, np.int64)
+            msk[valid] = np.concatenate(
+                [np.asarray(x, np.int64) for x in entity_masks[lo:hi]]
+            )
         hidden = encoder_forward(w, ids, att)
-        pooled = np.zeros((hi - lo, 2 * w.config.hidden_size), np.float32)
-        for r, j in enumerate(range(lo, hi)):
-            c = first_token_pool(hidden[r], msk[r], chem_codes[j])
-            d = first_token_pool(hidden[r], msk[r], dis_codes[j])
-            if c is None or d is None:
-                continue  # zero concat -> head still runs (degenerate row)
-            pooled[r, : w.config.hidden_size] = c
-            pooled[r, w.config.hidden_size :] = d
+        # vectorized first_token_pool; a row missing EITHER code keeps
+        # a fully-zero concat (degenerate row — head still runs)
+        mc = msk == np.asarray(chem_codes[lo:hi], np.int64)[:, None]
+        md = msk == np.asarray(dis_codes[lo:hi], np.int64)[:, None]
+        has = mc.any(axis=1) & md.any(axis=1)
+        rows = np.arange(b)
+        pooled = np.zeros((b, 2 * hs), np.float32)
+        pooled[has, :hs] = hidden[rows[has], mc.argmax(axis=1)[has]]
+        pooled[has, hs:] = hidden[rows[has], md.argmax(axis=1)[has]]
         out[lo:hi] = pair_head(w, pooled)
     return out

@@ -106,7 +106,6 @@ from .electra import (
     ElectraWeights,
     _erf,
     encoder_forward,
-    first_token_pool,
     gelu,
 )
 
@@ -176,28 +175,43 @@ def pool_features(
             n = len(pdf)
             toks = pdf["token_ids"].tolist()
             msks = pdf["entity_mask"].tolist()
-            ccs = pdf["chem_code"].tolist()
-            dcs = pdf["dis_code"].tolist()
+            ccs = np.asarray(pdf["chem_code"].tolist(), np.int64)
+            dcs = np.asarray(pdf["dis_code"].tolist(), np.int64)
             feats = np.zeros((n, 2 * hs), np.float32)
             for lo in range(0, n, batch_size):
                 hi = min(lo + batch_size, n)
-                t = max(len(toks[j]) for j in range(lo, hi))
-                ids = np.full((hi - lo, t), pad_id, np.int64)
-                att = np.zeros((hi - lo, t), np.float32)
-                mrows = np.full((hi - lo, t), -1, np.int64)
-                for r, j in enumerate(range(lo, hi)):
-                    L = len(toks[j])
-                    ids[r, :L] = toks[j]
-                    att[r, :L] = 1.0
-                    mrows[r, :L] = msks[j]
+                b = hi - lo
+                # vectorized pad+stack (reference sequence_padding.py
+                # semantics, no per-row python): bit-identical arrays
+                # to the row-loop construction
+                lens = np.fromiter((len(x) for x in toks[lo:hi]), np.int64, b)
+                t = int(lens.max())
+                if int(lens.min()) == t:  # equal-length fast path
+                    ids = np.asarray(toks[lo:hi], np.int64).reshape(b, t)
+                    att = np.ones((b, t), np.float32)
+                    mrows = np.asarray(msks[lo:hi], np.int64).reshape(b, t)
+                else:
+                    valid = np.arange(t) < lens[:, None]
+                    ids = np.full((b, t), pad_id, np.int64)
+                    ids[valid] = np.concatenate(
+                        [np.asarray(x, np.int64) for x in toks[lo:hi]]
+                    )
+                    att = valid.astype(np.float32)
+                    mrows = np.full((b, t), -1, np.int64)
+                    mrows[valid] = np.concatenate(
+                        [np.asarray(x, np.int64) for x in msks[lo:hi]]
+                    )
                 hidden = encoder_forward(w, ids, att)
-                for r, j in enumerate(range(lo, hi)):
-                    c = first_token_pool(hidden[r], mrows[r], int(ccs[j]))
-                    d = first_token_pool(hidden[r], mrows[r], int(dcs[j]))
-                    if c is not None:
-                        feats[j, :hs] = c
-                    if d is not None:
-                        feats[j, hs:] = d
+                # vectorized first_token_pool (electra.py): hidden state
+                # at the FIRST position whose mask equals the code;
+                # rows without the code keep the zero half
+                rows = np.arange(b)
+                for half, codes in ((slice(0, hs), ccs[lo:hi]),
+                                    (slice(hs, 2 * hs), dcs[lo:hi])):
+                    m = mrows == codes[:, None]
+                    has = m.any(axis=1)
+                    first = m.argmax(axis=1)
+                    feats[lo:hi, half][has] = hidden[rows[has], first[has]]
             yield pd.DataFrame(
                 {
                     "url": pdf["url"].values,

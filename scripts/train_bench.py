@@ -76,18 +76,34 @@ def _kernel_batches(nbatch: int) -> float:
     return time.perf_counter() - t0
 
 
-def kernel_ceiling(procs: int, nbatch: int = 32) -> float:
+def kernel_ceiling(procs: int, nbatch: int = 32, repeats: int = 2) -> float:
     """Rows/sec of the bare pinned-BLAS encoder kernel at `procs`
-    single-threaded processes — zero Spark.  Straggler-aware (max of
-    the inner walls), spawn/import excluded: the hardware ceiling the
-    Spark job is graded against."""
+    single-threaded processes — zero Spark.  Straggler-aware within a
+    run (max of the inner walls) and best-of-`repeats` across runs —
+    the SAME best-of-N protocol the Spark levels use, so ceiling and
+    measurement see the same shared-host noise distribution (a
+    single-run ceiling against a best-of-N job produced >100%
+    artifacts on this noisy VM).  Spawn/import excluded."""
     ctx = mp.get_context("spawn")
+    best = 0.0
     with ctx.Pool(procs, initializer=_pin_blas) as p:
-        walls = p.map(_kernel_batches, [nbatch] * procs)
-    return procs * nbatch * 16 / max(walls)
+        for _ in range(repeats):
+            walls = p.map(_kernel_batches, [nbatch] * procs)
+            best = max(best, procs * nbatch * 16 / max(walls))
+    return best
 
 CHILD = r"""
-import json, sys, time
+import json, os, sys, time
+# Pin BLAS to ONE thread per python worker (env propagates JVM ->
+# pyspark worker subprocesses).  Without this, each of the local[8]
+# workers spawns multi-threaded OpenBLAS and silently steals all 64
+# hardware threads — the local[8] number then exceeds the 8-process
+# pinned kernel ceiling and the 8->32 "efficiency" is fiction.  Pinned,
+# core count is genuinely the only variable between levels, matching
+# the kernel_ceiling methodology.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+           "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    os.environ[_v] = "1"
 sys.path.insert(0, {repo!r})
 import numpy as np
 from pyspark.sql import functions as F
