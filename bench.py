@@ -84,15 +84,26 @@ def main() -> None:
     spark = spark_session("bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # noise protocol (judge r2): a single wall per query cannot
+    # distinguish a code regression from shared-host neighbor noise.
+    # Each query runs REPS timed repetitions after one warm run; the
+    # reported per-query number is the MEDIAN and every wall is emitted
+    # in "walls" so a future round can re-adjudicate any delta.
+    REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    all_walls: dict[str, list[float]] = {}
     for name in HEADLINE:
         reset_data_caches(spark)
         df = QUERIES[name](spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()  # warm (scan cache, JIT)
-        reset_data_caches(spark)  # timed run pays its own cache fills
-        t0 = time.perf_counter()
-        materialize(QUERIES[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        walls = []
+        for _ in range(REPS):
+            reset_data_caches(spark)  # each timed run pays its own cache fills
+            t0 = time.perf_counter()
+            materialize(QUERIES[name](spark, SF_DIR))
+            walls.append(round(time.perf_counter() - t0, 3))
+        all_walls[name] = walls
+        timings[name] = sorted(walls)[len(walls) // 2]  # median
 
     # end-to-end CDR pipeline throughput on a generated pages corpus
     pages = datagen.gen_pages_df(spark, PIPELINE_PAGES).cache()
@@ -103,17 +114,16 @@ def main() -> None:
     materialize_triples(
         score_candidates(pages, mesh, salt_partitions=int(CPUS) * 2)
     ).count()
-    # best-of-2: this measurement is taken right after the query sweep,
-    # when decaying background load (JIT, GC, OS cache churn) can double
-    # a single wall; min-of-N reports capability, noise only ever adds
+    # median-of-REPS with all walls recorded, same protocol as above
     walls = []
-    for _ in range(2):
+    for _ in range(max(REPS, 2)):
         t0 = time.perf_counter()
         scored = score_candidates(pages, mesh, salt_partitions=int(CPUS) * 2)
         triples = materialize_triples(scored)
         n_triples = triples.count()
-        walls.append(time.perf_counter() - t0)
-    pipe_sec = round(min(walls), 3)
+        walls.append(round(time.perf_counter() - t0, 3))
+    all_walls["pipeline_e2e"] = walls
+    pipe_sec = sorted(walls)[len(walls) // 2]
     timings["pipeline_e2e"] = pipe_sec
     pages.unpersist()
 
@@ -132,6 +142,9 @@ def main() -> None:
                 "pages_per_sec": round(n_pages / pipe_sec, 1),
                 "triples_per_sec": round(n_triples / pipe_sec, 2),
                 "cpus": int(CPUS),
+                "reps": REPS,
+                "stat": "median",
+                "walls": all_walls,
             }
         )
     )

@@ -103,6 +103,165 @@ def featurize_py(
     )
 
 
+FULLTEXT_SCHEMA = (
+    "url string, token_ids array<int>, entity_mask array<int>, "
+    "chem_codes array<int>, dis_codes array<int>, labels array<int>, "
+    "chem_meshes array<string>, dis_meshes array<string>"
+)
+
+
+def fulltext_featurize_py(
+    text: str,
+    entities: list[dict],
+    gold_pairs: list[tuple[str, str]],
+    use_entity_token: bool = True,
+    max_len: int = 512,
+) -> dict | None:
+    """The document-level (is_full_sample) example builder — reference
+    ``make_example_fulltext`` (cdr_dataset.py:449-545) semantics:
+
+    - EVERY mention of EVERY entity is marker-wrapped, sorted by start,
+      inserted in reverse so earlier offsets stay valid (W1/W2)
+    - tokenize the whole marked document; if > max_len ids, truncate to
+      the window then cut BACK to just after the last [/e] inside it
+      (W5, cdr_dataset.py:477-481; a window with no [/e] drops the doc
+      — the reference would IndexError on ``e_end_last_idx[-1]``)
+    - mask: 'O' outside marker spans, the entity's mesh code inside
+      (markers included iff use_entity_token; with False the marker ids
+      are filtered from the token list, cdr_dataset.py:506-507)
+    - chem/dis code lists: the doc's codes of that type FILTERED to
+      those present in the (possibly truncated) mask, chem in entity
+      order, dis deduped preserving first-appearance order
+      (cdr_dataset.py:519-530); labels follow the same chem-outer /
+      dis-inner cross order, 1 iff the pair is in ``gold_pairs``
+    - LabelEncoder over the mask strings (dense rank of sorted distinct
+      values) re-encodes mask + both code lists (cdr_dataset.py:533-535)
+
+    Returns token_ids / entity_mask / encoded code lists / labels plus
+    the mesh-id lists in pair order (so logits can be joined back).
+    """
+    entities_pos = []
+    for e in entities:
+        for p in e["positions"]:
+            entities_pos.append(
+                {"code": e["mesh_id"], "start": int(p["start"]), "end": int(p["end"])}
+            )
+    if not entities_pos:
+        return None
+    entities_pos.sort(key=lambda p: p["start"])
+    t = text
+    for p in reversed(entities_pos):
+        s, e_ = p["start"], p["end"]
+        t = t[:s] + " [E] " + t[s:e_] + " [/E] " + t[e_:]
+    ids = encode(t)
+    if len(ids) > max_len:
+        subset = ids[:max_len]
+        last_end = -1
+        for i, x in enumerate(subset):
+            if x == E_END_ID:
+                last_end = i
+        if last_end < 0:
+            return None
+        ids = subset[: last_end + 1]
+    mask: list[str] = []
+    i = 0
+    span = 0
+    while i < len(ids):
+        if ids[i] != E_START_ID:
+            mask.append("O")
+            i += 1
+        else:
+            code = entities_pos[span]["code"]
+            if use_entity_token:
+                mask.append(code)
+            i += 1
+            while i < len(ids) and ids[i] != E_END_ID:
+                mask.append(code)
+                i += 1
+            if use_entity_token:
+                mask.append(code)
+            span += 1
+            i += 1
+    if not use_entity_token:
+        ids = [x for x in ids if x not in (E_START_ID, E_END_ID)]
+    present = set(mask)
+    types = {e["mesh_id"]: e["type"] for e in entities}
+    chem_all = [e["mesh_id"] for e in entities if types[e["mesh_id"]] == "Chemical"]
+    dis_all = [e["mesh_id"] for e in entities if types[e["mesh_id"]] == "Disease"]
+    gold = set(gold_pairs)
+    chem_meshes: list[str] = []
+    dis_meshes: list[str] = []
+    labels: list[int] = []
+    for c in chem_all:
+        if c in present:
+            chem_meshes.append(c)
+            for d in dis_all:
+                if d in present:
+                    if d not in dis_meshes:
+                        dis_meshes.append(d)
+                    labels.append(1 if (c, d) in gold else 0)
+    if not chem_meshes or not dis_meshes:
+        return None
+    classes, enc = np.unique(np.array(mask, dtype=object), return_inverse=True)
+    lookup = {c: j for j, c in enumerate(classes)}
+    return dict(
+        token_ids=[int(x) for x in ids],
+        entity_mask=[int(x) for x in enc],
+        chem_codes=[int(lookup[c]) for c in chem_meshes],
+        dis_codes=[int(lookup[d]) for d in dis_meshes],
+        labels=labels,
+        chem_meshes=chem_meshes,
+        dis_meshes=dis_meshes,
+    )
+
+
+def fulltext_features(
+    docs_with_entities: DataFrame,
+    use_entity_token: bool = True,
+    max_len: int = 512,
+) -> DataFrame:
+    """Distributed document-level featurization.
+
+    Input: one row per doc — (url, text,
+    entities array<struct<mesh_id, type, positions array<struct<start,
+    end>>>>, gold_pairs array<struct<chem_mesh, dis_mesh>> | null).
+    Output: FULLTEXT_SCHEMA, one row per surviving document.  Narrow
+    mapInPandas stage; same scale shape as ``featurize``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split(" ")[0] for c in FULLTEXT_SCHEMA.split(", ")]
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.text is None or not r.text:
+                    continue
+                ents = [
+                    {
+                        "mesh_id": e["mesh_id"],
+                        "type": e["type"],
+                        "positions": [
+                            {"start": p["start"], "end": p["end"]}
+                            for p in e["positions"]
+                        ],
+                    }
+                    for e in r.entities
+                ]
+                gold = (
+                    [(g["chem_mesh"], g["dis_mesh"]) for g in r.gold_pairs]
+                    if getattr(r, "gold_pairs", None) is not None
+                    else []
+                )
+                feat = fulltext_featurize_py(
+                    r.text, ents, gold,
+                    use_entity_token=use_entity_token, max_len=max_len,
+                )
+                if feat is not None:
+                    out.append({"url": r.url, **feat})
+            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+
+    return docs_with_entities.mapInPandas(run, schema=FULLTEXT_SCHEMA)
+
+
 def wordpiece_segments(words: DataFrame, word_col: str = "word") -> DataFrame:
     """Per-word WordPiece segmentation as a relational surface:
     (word) -> (word, n_pieces, ids_csv) using the real ELECTRA vocab

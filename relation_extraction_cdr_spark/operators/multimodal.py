@@ -2,11 +2,13 @@
 with typed metadata; decode / feature-extract / resize / frame-sample as
 Arrow-batched pandas UDFs over mapInPandas.
 
-The actual codec work (PIL/ffmpeg/librosa) is NOT available in this
-environment, so the decode step is a clearly-marked deterministic fake
-(or NotImplementedError for real codecs) — but the Spark-side contract is
-real and tested: schemas, batch shapes, partitioning, and the UDF
-signatures are exactly what a production decoder plugs into.
+PNG images and PCM WAV audio decode for REAL via the stdlib-only codecs
+in functions/codecs.py (zlib inflate + all five PNG scanline filters;
+RIFF/PCM-16 parse) — value-oracled by q90.  Other containers (JPEG,
+video) still fall to a clearly-marked deterministic fake or
+NotImplementedError, the seam where PIL/ffmpeg plug in; the Spark-side
+contract is identical either way: schemas, batch shapes, partitioning,
+and the UDF signatures are exactly what a production decoder uses.
 
 Schema contract:
   media(media_id long, kind string in {image,audio,video},
@@ -22,6 +24,8 @@ import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import codecs as _codecs
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
@@ -49,10 +53,43 @@ def gen_media_df(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
     )
 
 
+def _decode(payload: bytes, kind: str) -> np.ndarray:
+    """Decode dispatch.  REAL pure-python codecs handle PNG images and
+    PCM WAV audio (functions/codecs.py — zlib/struct only, all five PNG
+    filter types); other payloads fall through to the deterministic
+    fake so the synthetic media table keeps working.  Video (and other
+    image/audio containers) remain the documented seam for PIL/ffmpeg.
+
+    Real-decode features are 8-dim like the fake's, so FEATURES_SCHEMA
+    is container-independent:
+      PNG  -> [w, h, ch, mean_all/255, mean_c0/255 .. mean_c3/255] (absent
+              channels 0)
+      WAV  -> [rate/1e3, n_samples, ch, mean/2^15, rms/2^15, 0, 0, 0]
+    """
+    if payload[:8] == _codecs.PNG_MAGIC:
+        px = _codecs.png_decode(payload)
+        h, w, ch = px.shape
+        means = px.reshape(-1, ch).mean(axis=0) / 255.0
+        cmeans = [float(means[i]) if i < ch else 0.0 for i in range(4)]
+        return np.array(
+            [float(w), float(h), float(ch), float(px.mean() / 255.0), *cmeans]
+        )
+    if payload[:4] == _codecs.WAV_MAGIC and payload[8:12] == b"WAVE":
+        samples, rate = _codecs.wav_decode(payload)
+        n, ch = samples.shape
+        s = samples.astype(np.float64) / 32768.0
+        return np.array(
+            [rate / 1e3, float(n), float(ch), float(s.mean()),
+             float(np.sqrt((s ** 2).mean())), 0.0, 0.0, 0.0]
+        )
+    return _fake_decode(payload, kind)
+
+
 def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
-    """STUB decode: a real implementation would dispatch to PIL /
-    soundfile / pyav here.  The fake derives a deterministic 8-dim float
-    feature from the payload bytes so downstream plumbing is testable.
+    """STUB decode for non-PNG/WAV payloads: a real implementation
+    would dispatch to PIL / soundfile / pyav here.  The fake derives a
+    deterministic 8-dim float feature from the payload bytes so
+    downstream plumbing is testable.
 
     Raises NotImplementedError for unknown kinds — the marker for where
     real codecs belong.
@@ -80,7 +117,7 @@ def extract_features(media: DataFrame, frame_stride: int = 2) -> DataFrame:
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                feat = _fake_decode(bytes(r.payload), r.kind)
+                feat = _decode(bytes(r.payload), r.kind)
                 n_frames = 1
                 if r.kind == "video":
                     # frame sampling: stride over fake frames derived from

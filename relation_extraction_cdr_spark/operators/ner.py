@@ -89,6 +89,119 @@ def ner_features(docs_with_mentions: DataFrame, max_len: int = 512) -> DataFrame
     return docs_with_mentions.mapInPandas(run, schema=NER_SCHEMA)
 
 
+NER_SCORED_SCHEMA = "url string, span_idx int, label int, pred int, margin double"
+
+
+def score_types(
+    ner_feats: DataFrame, config=None, seed: int = 0, head_seed: int = 1,
+    batch_size: int = 8,
+) -> DataFrame:
+    """NER token-classification forward (SURVEY §2.9 M2 variant;
+    reference electra_model.py:767-829): encoder once per padded doc
+    batch, hidden states gathered at each marked span's entity-token
+    index, dense -> gelu -> out_proj type head.  One output row per
+    span: gold label, argmax pred, positive-class margin.
+
+    Weights are seeded per executor ((config, seed) — the .npz plug
+    point applies exactly as in pool_features); parity vs the literal
+    port is pinned by tests/test_electra.py::test_ner_forward_parity."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..scoring.electra import DEFAULT_CONFIG, ElectraWeights, NerHead, ner_forward
+
+        cfg = config or DEFAULT_CONFIG
+        w = ElectraWeights.seeded(cfg, seed)
+        head = NerHead.seeded(cfg, head_seed)
+        cols = ["url", "span_idx", "label", "pred", "margin"]
+        for pdf in batches:
+            out = []
+            for lo in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[lo : lo + batch_size]
+                logits = ner_forward(
+                    w,
+                    head,
+                    [list(x) for x in chunk["token_ids"]],
+                    [list(x) for x in chunk["entity_token_idx"]],
+                )
+                for b, row in enumerate(chunk.itertuples(index=False)):
+                    for j, lab in enumerate(row.labels):
+                        lg = logits[b][j]
+                        out.append(
+                            {
+                                "url": row.url,
+                                "span_idx": j,
+                                "label": int(lab),
+                                "pred": int(np.argmax(lg)),
+                                "margin": float(lg[1] - lg[0]),
+                            }
+                        )
+            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+
+    return ner_feats.mapInPandas(run, schema=NER_SCORED_SCHEMA)
+
+
+def macro_report(scored: DataFrame) -> DataFrame:
+    """The A7-style classification report (reference cdr_trainer.py:
+    333-370 prints sklearn's classification_report; this is the same
+    math as a pure aggregation): per class — precision, recall, f1 in
+    integer PPM (exact DECIMAL division, engine-portable) + support,
+    plus a 'macro' row averaging the two classes' PPM values.  One
+    dimension-bounded groupBy; no python."""
+    per = (
+        scored.groupBy()
+        .agg(
+            *[
+                F.sum(
+                    ((F.col("pred") == c) & (F.col("label") == c)).cast("long")
+                ).alias(f"tp{c}")
+                for c in (0, 1)
+            ],
+            *[
+                F.sum((F.col("pred") == c).cast("long")).alias(f"pp{c}")
+                for c in (0, 1)
+            ],
+            *[
+                F.sum((F.col("label") == c).cast("long")).alias(f"gp{c}")
+                for c in (0, 1)
+            ],
+        )
+    )
+    rows = []
+    for c, name in ((0, "Chemical"), (1, "Disease")):
+        rows.append(
+            F.struct(
+                F.lit(name).alias("class"),
+                F.expr(
+                    f"CAST(CAST(tp{c} AS DECIMAL(38,0)) * 1000000 DIV GREATEST(pp{c}, 1) AS BIGINT)"
+                ).alias("precision_ppm"),
+                F.expr(
+                    f"CAST(CAST(tp{c} AS DECIMAL(38,0)) * 1000000 DIV GREATEST(gp{c}, 1) AS BIGINT)"
+                ).alias("recall_ppm"),
+                F.expr(
+                    f"CAST(CAST(tp{c} AS DECIMAL(38,0)) * 2000000 DIV GREATEST(pp{c} + gp{c}, 1) AS BIGINT)"
+                ).alias("f1_ppm"),
+                F.col(f"gp{c}").alias("support"),
+            )
+        )
+    exploded = per.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+    macro = (
+        exploded.groupBy()
+        .agg(
+            F.expr("CAST(SUM(precision_ppm) DIV 2 AS BIGINT)").alias("precision_ppm"),
+            F.expr("CAST(SUM(recall_ppm) DIV 2 AS BIGINT)").alias("recall_ppm"),
+            F.expr("CAST(SUM(f1_ppm) DIV 2 AS BIGINT)").alias("f1_ppm"),
+            F.sum("support").alias("support"),
+        )
+        .select(
+            F.lit("macro").alias("class"),
+            "precision_ppm", "recall_ppm", "f1_ppm", "support",
+        )
+    )
+    return exploded.unionByName(macro)
+
+
 def docs_with_mentions(docs: DataFrame, mentions: DataFrame) -> DataFrame:
     """Join helper: one row per doc with its mention array."""
     agg = mentions.groupBy("url").agg(

@@ -3751,7 +3751,8 @@ def q78(spark, sf_dir):
            CAST(pc.n_cd AS BIGINT) AS n_cd,
            CAST(ec.n AS BIGINT) AS n_chem,
            CAST(ed.n AS BIGINT) AS n_dis,
-           CAST((pc.n_cd * nd.n_docs * 1000000) // (ec.n * ed.n) AS BIGINT)
+           CAST(CAST(pc.n_cd AS HUGEINT) * nd.n_docs * 1000000
+                // (CAST(ec.n AS HUGEINT) * ed.n) AS BIGINT)
              AS lift_ppm
     FROM pc
     JOIN ec ON ec.mesh_id = pc.chem_mesh
@@ -3763,11 +3764,14 @@ def q79(spark, sf_dir):
     """Association lift for co-occurring (chemical, disease) pairs — the
     PMI-family relevance signal a KG ranks candidate triples by before
     scoring (lift = P(c,d) / (P(c)P(d))).  Integer-exact: lift is
-    emitted as parts-per-million via pure BIGINT arithmetic
-    (n_cd * N * 1e6 div n_c * n_d) so no float log/division can drift
-    the cross-engine hash.  Shape at 100 TB: the pair aggregate is the
-    only corpus-scale shuffle; both marginal tables are entity-dimension
-    sized and broadcast."""
+    emitted as parts-per-million via exact wide-integer arithmetic —
+    decimal(38,0) on the Spark side, HUGEINT in the oracle — so neither
+    float drift NOR int64 product overflow can break the cross-engine
+    hash (n_cd * n_docs * 1e6 passes int64 already at ~3e6 docs; the
+    quotient itself stays <= n_docs * 1e6, i.e. int64-safe past 10^12
+    docs).  Shape at 100 TB: the pair aggregate is the only corpus-scale
+    shuffle; both marginal tables are entity-dimension sized and
+    broadcast."""
     cooc = _doc_cooc(spark, sf_dir)
     m = _doc_mentions(spark, sf_dir)
     inv = m.select("url", "mesh_id", "type").distinct()
@@ -3796,8 +3800,10 @@ def q79(spark, sf_dir):
             F.col("n_cd").cast("long").alias("n_cd"),
             F.col("n_chem").cast("long").alias("n_chem"),
             F.col("n_dis").cast("long").alias("n_dis"),
-            F.expr("CAST((n_cd * n_docs * 1000000) DIV (n_chem * n_dis) AS BIGINT)")
-            .alias("lift_ppm"),
+            F.expr(
+                "CAST(CAST(n_cd AS DECIMAL(38,0)) * n_docs * 1000000"
+                " DIV (CAST(n_chem AS DECIMAL(38,0)) * n_dis) AS BIGINT)"
+            ).alias("lift_ppm"),
         )
     )
 
@@ -4216,4 +4222,196 @@ def q86(spark, sf_dir):
     ]
     return spark.createDataFrame(
         rows, "epoch int, loss_q long, n_valid long, params_checksum long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 12. exact-architecture kernels as load-bearing queries (round 3):
+#     is_full_sample document-level forward, NER token head, ALPS tanh
+#     head, and the real PNG decode path
+# ---------------------------------------------------------------------------
+
+# Small exact-architecture config for distributed scoring queries: the
+# REAL module code path (scoring/electra.py — the same functions a
+# converted .npz checkpoint would run through), at a width where the
+# numpy encoder over a 5k-doc corpus stays sub-second per core.
+def _kernel_cfg():
+    from ..scoring.electra import ElectraConfig
+
+    return ElectraConfig(
+        vocab_size=30524, embedding_size=48, hidden_size=48,
+        num_hidden_layers=2, num_attention_heads=4, intermediate_size=96,
+        max_position_embeddings=512,
+    )
+
+
+def _doc_fulltext(spark, sf_dir):
+    """Document-level (is_full_sample) features over the corpus:
+    make_example_fulltext semantics (operators/features.fulltext_features)
+    with entities from the gazetteer mentions and gold from the cooc
+    window.  Memoized+persisted — q87/q89 share the subtree."""
+    from pyspark import StorageLevel
+
+    from ..operators.features import fulltext_features
+
+    def build():
+        m = _doc_mentions(spark, sf_dir)
+        ents = (
+            m.groupBy("url", "mesh_id", "type")
+            .agg(F.array_sort(F.collect_list(F.struct("start", "end"))).alias("positions"))
+            .groupBy("url")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("mesh_id", "type", "positions"))
+                ).alias("entities")
+            )
+        )
+        gold = _doc_cooc(spark, sf_dir).groupBy("url").agg(
+            F.array_sort(F.collect_list(F.struct("chem_mesh", "dis_mesh"))).alias(
+                "gold_pairs"
+            )
+        )
+        t = _t(spark, sf_dir, "documents")
+        docs = t["documents"].select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.lower(F.col("text")).alias("text"),
+        )
+        payload = docs.join(ents, "url").join(gold, "url", "left")
+        return fulltext_features(payload).persist(StorageLevel.MEMORY_AND_DISK)
+
+    return _memo(spark, ("fulltext", sf_dir), build)
+
+
+@register("q87_fullsample_logits")  # rows-only: numpy encoder not SQL-expressible
+def q87(spark, sf_dir):
+    """The is_full_sample document-level forward made LOAD-BEARING
+    (reference electra_model.py:711-734 via scoring/electra.
+    full_sample_forward): ONE encoder pass per document scores ALL its
+    (chem, dis) pairs — the engine's preferred batching shape — and the
+    OUTPUT IS THE LOGITS THEMSELVES, quantized to exact micro-units.
+    Parity vs the literal port is pinned by
+    tests/test_electra.py::test_full_sample_forward_parity; the Spark
+    twin (distributed == local single-doc kernel) by
+    tests/test_electra.py::test_score_fulltext_spark_matches_local_twin.
+    Rows-only: DuckDB cannot run the encoder."""
+    from ..scoring.scorer import score_fulltext
+
+    scored = score_fulltext(_doc_fulltext(spark, sf_dir), config=_kernel_cfg(), seed=3)
+    return scored.select(
+        "url", "chem_mesh", "dis_mesh", "label",
+        F.expr("CAST(FLOOR(margin * 1000000 + 0.5) AS BIGINT)").alias("margin_e6"),
+    )
+
+
+@register("q88_ner_type_counts")  # rows-only: numpy encoder not SQL-expressible
+def q88(spark, sf_dir):
+    """NER token-classification head end-to-end (reference
+    electra_model.py:767-829 + the cdr_trainer.py:333-370 macro report):
+    q48's exact feature rows -> encoder -> gather at entity-start tokens
+    -> dense/gelu/out_proj -> per-class P/R/F1 in integer PPM + macro
+    row, computed as ONE dimension-bounded aggregation.  Forward parity:
+    tests/test_electra.py::test_ner_forward_parity."""
+    from ..operators.ner import docs_with_mentions, macro_report, ner_features, score_types
+
+    m = _doc_mentions(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")["documents"].select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lower(F.col("text")).alias("text"),
+    )
+    feats = ner_features(
+        docs_with_mentions(docs, m.select("url", "start", "end", "type"))
+    )
+    scored = score_types(feats, config=_kernel_cfg(), seed=3, head_seed=4)
+    return macro_report(scored)
+
+
+@register("q89_alps_logits")  # rows-only: numpy encoder not SQL-expressible
+def q89(spark, sf_dir):
+    """ALPS 3-way tanh pair head (reference electra_model.py:273-411):
+    run-counting mean pooling + branch-ordered concat + dense/TANH/
+    out_proj, one row per exercisable -1 branch per document, logits in
+    exact micro-units.  Forward parity:
+    tests/test_electra.py::test_alps_forward_parity."""
+    from ..scoring.scorer import score_alps_3way
+
+    scored = score_alps_3way(
+        _doc_fulltext(spark, sf_dir), config=_kernel_cfg(), seed=3, head_seed=5
+    )
+    return scored.select(
+        "url", "kind", "e1", "e2",
+        F.expr("CAST(FLOOR(margin * 1000000 + 0.5) AS BIGINT)").alias("margin_e6"),
+    )
+
+
+@register(
+    "q90_png_decode",
+    """
+    WITH ids AS (SELECT CAST(range AS BIGINT) AS id FROM range(0, 24)),
+    dims AS (SELECT id, CAST(16 + id % 5 AS INT) AS w,
+                    CAST(12 + id % 3 AS INT) AS h FROM ids),
+    xs AS (SELECT CAST(range AS BIGINT) AS x FROM range(0, 21)),
+    ys AS (SELECT CAST(range AS BIGINT) AS y FROM range(0, 15)),
+    cs AS (SELECT UNNEST([0, 1, 2]) AS c),
+    cells AS (
+      SELECT d.id, d.w, d.h, cs.c,
+             SUM((d.id * 31 + xs.x * 7 + ys.y * 13 + cs.c * 29) % 256) AS s
+      FROM dims d
+      JOIN xs ON xs.x < d.w
+      JOIN ys ON ys.y < d.h
+      CROSS JOIN cs
+      GROUP BY 1, 2, 3, 4)
+    SELECT id AS media_id, w AS width, h AS height,
+           CAST(MAX(CASE WHEN c = 0 THEN s END) AS BIGINT) AS sum_c0,
+           CAST(MAX(CASE WHEN c = 1 THEN s END) AS BIGINT) AS sum_c1,
+           CAST(MAX(CASE WHEN c = 2 THEN s END) AS BIGINT) AS sum_c2
+    FROM cells GROUP BY 1, 2, 3
+    """,
+)
+def q90(spark, sf_dir):
+    """REAL PNG decode, VALUE-ORACLED: each image's pixels follow the
+    closed form p(x,y,c) = (31*id + 7x + 13y + 29c) mod 256; the Spark
+    side round-trips them through the pure-python PNG codec
+    (functions/codecs.py — zlib inflate + per-row filter cycling through
+    ALL FIVE filter types on encode, so the decoder's unfiltering is on
+    the hash path), then emits exact per-channel pixel sums; the DuckDB
+    oracle computes the same sums directly from the formula.  Any
+    decoder bug — filter reconstruction, stride, channel order — breaks
+    the hash.  Scale shape: embarrassingly parallel mapInPandas, no
+    shuffle before the final dimension-bounded projection."""
+    import pandas as pd  # noqa: F811
+
+    def run(batches):
+        import numpy as np
+
+        from ..functions.codecs import png_decode, png_encode
+
+        cols = ["media_id", "width", "height", "sum_c0", "sum_c1", "sum_c2"]
+        for pdf in batches:
+            out = []
+            for did in pdf["id"]:
+                did = int(did)
+                w, h = 16 + did % 5, 12 + did % 3
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                c = np.arange(3)[None, None, :]
+                px = ((31 * did + 7 * x + 13 * y + 29 * c) % 256).astype(np.uint8)
+                back = png_decode(png_encode(px))  # the kernel under test
+                sums = back.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                out.append(
+                    {"media_id": did, "width": w, "height": h,
+                     "sum_c0": int(sums[0]), "sum_c1": int(sums[1]),
+                     "sum_c2": int(sums[2])}
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return (
+        spark.range(0, 24)
+        .repartition(8)
+        .mapInPandas(
+            run,
+            schema=(
+                "media_id long, width int, height int, "
+                "sum_c0 long, sum_c1 long, sum_c2 long"
+            ),
+        )
     )

@@ -81,10 +81,15 @@ def transfer_encoder_weights(
 def save_checkpoint(w: ElectraWeights, path: str | Path) -> None:
     """S12: persist named arrays (the ``save_pretrained`` analog;
     reference cdr_trainer.py:467).  Round-trips bit-for-bit through
-    ``ElectraWeights.load_npz`` — the executor-side plug point."""
+    ``ElectraWeights.load_npz`` — the executor-side plug point.
+
+    Written through an open file handle so np.savez cannot silently
+    append '.npz' to a suffix-less path (which would desync the name
+    BestCheckpoint stores from the file actually on disk)."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    np.savez(path, **w.p)
+    with open(path, "wb") as f:
+        np.savez(f, **w.p)
 
 
 def load_checkpoint(path: str | Path, config: ElectraConfig) -> ElectraWeights:

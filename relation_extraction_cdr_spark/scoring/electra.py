@@ -245,6 +245,300 @@ def pair_head(w: ElectraWeights, pooled_concat: np.ndarray) -> np.ndarray:
     return x @ p["head.out.w"] + p["head.out.b"]
 
 
+# ---------------------------------------------------------------------------
+# pooling variants (A3 closure) — reference electra_model.py:205-219,
+# :626-641 — and the is_full_sample document-level forward (:711-734)
+# ---------------------------------------------------------------------------
+
+
+def run_counting_mean_pool(
+    hidden: np.ndarray, entity_mask: np.ndarray, code: int
+) -> np.ndarray | None:
+    """get_entity_embedding of ElectraModelClassification
+    (electra_model.py:205-219) and of the ALPS model (:360-377): SUM of
+    ALL positions whose mask equals the code, divided by the NUMBER OF
+    CONTIGUOUS RUNS of the code (``count`` increments once per run via
+    the ``check`` latch; the sum adds every matching position).  None if
+    the code is absent (the reference would divide 0/0)."""
+    match = entity_mask == code
+    if not match.any():
+        return None
+    # run count = number of positions where a match starts (previous
+    # position is a non-match or the sequence start)
+    starts = match & ~np.concatenate(([False], match[:-1]))
+    return hidden[match].sum(axis=0) / np.float32(starts.sum())
+
+
+def all_match_pool(
+    hidden: np.ndarray, entity_mask: np.ndarray, code: int
+) -> np.ndarray:
+    """get_all_entity_embedding (electra_model.py:626-641): mean of the
+    hidden states at ALL positions whose mask equals the code.
+
+    Faithfully reproduces a reference quirk: the loop's "get first
+    embedding" skip (``if i != current_idx-1``) is DEAD CODE — for a
+    strictly increasing scan position ``i`` and ``current_idx`` only
+    ever set to a previous match index, ``i == current_idx - 1`` can
+    never hold, so EVERY matching position is appended, not just the
+    first of each run (pinned by the literal-port parity test).  When
+    the code is absent the reference means a single zero vector
+    (:637-641) — i.e. returns zeros, unlike the other poolers."""
+    match = entity_mask == code
+    if not match.any():
+        return np.zeros(hidden.shape[-1], hidden.dtype)
+    return hidden[match].mean(axis=0)
+
+
+def generate_code_pairs(
+    chem_codes: list[int], dis_codes: list[int], label_length: int
+) -> tuple[list[int], list[int]]:
+    """generate_code_pairs_list (electra_model.py:645-663): ordered
+    cross product of the chem codes before the first -1 with the dis
+    codes before the first -1 (W7 pair-list generation), padded with
+    (-1, -1) pairs up to ``label_length`` (never truncated — if the
+    real pair count exceeds label_length the reference returns the
+    longer list and the downstream stack would fail; callers size
+    label_length to the batch max like the levi trainer does)."""
+    ccs: list[int] = []
+    dcs: list[int] = []
+    for c in chem_codes:
+        if c == -1:
+            break
+        for d in dis_codes:
+            if d == -1:
+                break
+            ccs.append(int(c))
+            dcs.append(int(d))
+    for _ in range(len(ccs), label_length):
+        ccs.append(-1)
+        dcs.append(-1)
+    return ccs, dcs
+
+
+def full_sample_forward(
+    w: ElectraWeights,
+    token_ids: list[list[int]],
+    entity_masks: list[list[int]],
+    chem_code_lists: list[list[int]],
+    dis_code_lists: list[list[int]],
+    label_length: int,
+    pad_id: int = 0,
+) -> np.ndarray:
+    """The ``is_full_sample`` document-level forward
+    (electra_model.py:711-734): ONE encoder pass per document scores
+    ALL of its (chem, dis) pairs.  Returns [B, label_length, 2] logits.
+
+    Per document: pairs come from ``generate_code_pairs``; each side of
+    a pair pools via ``all_match_pool`` (mean over ALL positions whose
+    mask equals the code); the concat feeds the same gelu pair head.
+    Padding pairs carry code -1, and — faithfully to the reference —
+    code -1 pools over the PADDING positions of the mask (sequence
+    padding fills masks with -1), yielding the mean pad-state for short
+    documents and zeros for full-length ones.
+
+    Vectorization: the per-(doc, code) means are one boolean-matrix
+    GEMM per document ([C, T] @ [T, H]), the head one GEMM per batch —
+    no per-position python."""
+    B = len(token_ids)
+    if B == 0:
+        return np.zeros((0, label_length, 2), np.float32)
+    lens = np.fromiter((len(x) for x in token_ids), np.int64, B)
+    T = int(lens.max())
+    valid = np.arange(T) < lens[:, None]
+    ids = np.full((B, T), pad_id, np.int64)
+    ids[valid] = np.concatenate([np.asarray(x, np.int64) for x in token_ids])
+    att = valid.astype(np.float32)  # (x != pad_id) in the levi trainer
+    msk = np.full((B, T), -1, np.int64)
+    msk[valid] = np.concatenate([np.asarray(x, np.int64) for x in entity_masks])
+
+    hidden = encoder_forward(w, ids, att)  # [B, T, H]
+    hs = hidden.shape[-1]
+
+    pooled = np.zeros((B, label_length, 2 * hs), np.float32)
+    for b in range(B):
+        ccs, dcs = generate_code_pairs(
+            list(chem_code_lists[b]), list(dis_code_lists[b]), label_length
+        )
+        if len(ccs) != label_length:
+            raise ValueError(
+                f"doc {b}: {len(ccs)} pairs exceed label_length={label_length}"
+            )
+        codes = np.unique(np.asarray(ccs + dcs, np.int64))
+        eq = (msk[b][None, :] == codes[:, None]).astype(np.float32)  # [C, T]
+        counts = eq.sum(axis=1)  # [C]
+        sums = eq @ hidden[b]  # [C, H]
+        means = np.where(
+            counts[:, None] > 0, sums / np.maximum(counts, 1)[:, None], 0.0
+        ).astype(np.float32)
+        code_idx = {int(c): j for j, c in enumerate(codes)}
+        ci = np.fromiter((code_idx[c] for c in ccs), np.int64, label_length)
+        di = np.fromiter((code_idx[d] for d in dcs), np.int64, label_length)
+        pooled[b, :, :hs] = means[ci]
+        pooled[b, :, hs:] = means[di]
+
+    return pair_head(w, pooled.reshape(B * label_length, 2 * hs)).reshape(
+        B, label_length, 2
+    )
+
+
+# ---------------------------------------------------------------------------
+# NER token-classification head (electra_model.py:736-829) and the ALPS
+# 3-way tanh head (:273-411) — M2 variants beyond the train_sentence head
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class NerHead:
+    """ElectraModelEntityTokenClassification head (electra_model.py:
+    750-752): dense(embedding_size -> embedding_size*2) -> gelu ->
+    out_proj(embedding_size*2 -> 2); input is the hidden state gathered
+    at each marked span's entity token index (:818-820
+    ``sequence_output[i][entity_token_ids[i]]``).  Same E == H shape
+    note as the pair head (module docstring)."""
+
+    dense_w: np.ndarray
+    dense_b: np.ndarray
+    out_w: np.ndarray
+    out_b: np.ndarray
+
+    @classmethod
+    def seeded(cls, config: ElectraConfig = DEFAULT_CONFIG, seed: int = 0) -> "NerHead":
+        rng = np.random.default_rng(seed)
+        e, s = config.embedding_size, config.initializer_range
+        return cls(
+            rng.normal(0.0, s, (e, e * 2)).astype(np.float32),
+            np.zeros(e * 2, np.float32),
+            rng.normal(0.0, s, (e * 2, 2)).astype(np.float32),
+            np.zeros(2, np.float32),
+        )
+
+    def apply(self, gathered: np.ndarray) -> np.ndarray:
+        """[N, H] gathered hidden states -> [N, 2] type logits."""
+        x = gathered @ self.dense_w + self.dense_b
+        x = gelu(x)
+        return x @ self.out_w + self.out_b
+
+
+def ner_forward(
+    w: ElectraWeights,
+    head: NerHead,
+    token_ids: list[list[int]],
+    entity_token_idx: list[list[int]],
+    pad_id: int = 0,
+) -> list[np.ndarray]:
+    """Batched NER forward (electra_model.py:767-829): encoder once per
+    padded batch, gather each document's hidden states at its marked
+    entity-token indices, apply the token head.  Returns one [n_spans_i,
+    2] logit array per document (span counts vary per doc)."""
+    B = len(token_ids)
+    if B == 0:
+        return []
+    lens = np.fromiter((len(x) for x in token_ids), np.int64, B)
+    T = int(lens.max())
+    valid = np.arange(T) < lens[:, None]
+    ids = np.full((B, T), pad_id, np.int64)
+    ids[valid] = np.concatenate([np.asarray(x, np.int64) for x in token_ids])
+    att = valid.astype(np.float32)
+    hidden = encoder_forward(w, ids, att)
+    # flatten all (doc, span) gathers into ONE head GEMM
+    doc_of = np.concatenate(
+        [np.full(len(ix), b, np.int64) for b, ix in enumerate(entity_token_idx)]
+    ) if any(len(ix) for ix in entity_token_idx) else np.zeros(0, np.int64)
+    pos = np.concatenate(
+        [np.asarray(ix, np.int64) for ix in entity_token_idx]
+    ) if len(doc_of) else np.zeros(0, np.int64)
+    logits = head.apply(hidden[doc_of, pos]) if len(doc_of) else np.zeros((0, 2), np.float32)
+    out: list[np.ndarray] = []
+    off = 0
+    for ix in entity_token_idx:
+        out.append(logits[off : off + len(ix)])
+        off += len(ix)
+    return out
+
+
+@dataclass
+class AlpsHead:
+    """ElectraModelClassificationALPS head (electra_model.py:284-287):
+    dense(512, 512) -> TANH -> out_proj(512, 2) — the only tanh head in
+    the reference ("although BERT uses tanh here..." applies to the
+    OTHER models; this one keeps tanh).  512 is hardcoded in the
+    reference (= hidden_size*2 with the runnable 256-hidden config);
+    here the shape follows hidden_size*2 so any consistent config runs,
+    with the literal 512 at the default config."""
+
+    dense_w: np.ndarray
+    dense_b: np.ndarray
+    out_w: np.ndarray
+    out_b: np.ndarray
+
+    @classmethod
+    def seeded(cls, config: ElectraConfig = DEFAULT_CONFIG, seed: int = 0) -> "AlpsHead":
+        rng = np.random.default_rng(seed)
+        two_h, s = config.hidden_size * 2, config.initializer_range
+        return cls(
+            rng.normal(0.0, s, (two_h, two_h)).astype(np.float32),
+            np.zeros(two_h, np.float32),
+            rng.normal(0.0, s, (two_h, 2)).astype(np.float32),
+            np.zeros(2, np.float32),
+        )
+
+    def apply(self, pooled_concat: np.ndarray) -> np.ndarray:
+        x = pooled_concat @ self.dense_w + self.dense_b
+        x = np.tanh(x)
+        return x @ self.out_w + self.out_b
+
+
+def alps_forward(
+    w: ElectraWeights,
+    head: AlpsHead,
+    token_ids: list[list[int]],
+    entity_masks: list[list[int]],
+    chem_codes: list[int],
+    dis_codes: list[int],
+    other_codes: list[int],
+    pad_id: int = 0,
+) -> np.ndarray:
+    """ALPS 3-way forward (electra_model.py:306-411): encoder once per
+    padded batch; per row exactly ONE of (chem, dis, other) codes is -1
+    and the OTHER TWO pool via the run-counting mean
+    (``run_counting_mean_pool``); concat order follows :385-399 —
+    chem==-1 -> (disease, other); dis==-1 -> (chemical, other);
+    other==-1 -> (chemical, disease) — then the tanh head.  Returns
+    [N, 2] logits."""
+    n = len(token_ids)
+    if n == 0:
+        return np.zeros((0, 2), np.float32)
+    lens = np.fromiter((len(x) for x in token_ids), np.int64, n)
+    T = int(lens.max())
+    valid = np.arange(T) < lens[:, None]
+    ids = np.full((n, T), pad_id, np.int64)
+    ids[valid] = np.concatenate([np.asarray(x, np.int64) for x in token_ids])
+    att = valid.astype(np.float32)
+    msk = np.full((n, T), -1, np.int64)
+    msk[valid] = np.concatenate([np.asarray(x, np.int64) for x in entity_masks])
+    hidden = encoder_forward(w, ids, att)
+    hs = hidden.shape[-1]
+    pooled = np.zeros((n, 2 * hs), np.float32)
+    for i in range(n):
+        cc, dc, oc = int(chem_codes[i]), int(dis_codes[i]), int(other_codes[i])
+        if cc == -1:
+            a = run_counting_mean_pool(hidden[i], msk[i], dc)
+            b = run_counting_mean_pool(hidden[i], msk[i], oc)
+        elif dc == -1:
+            a = run_counting_mean_pool(hidden[i], msk[i], cc)
+            b = run_counting_mean_pool(hidden[i], msk[i], oc)
+        else:  # other_code == -1
+            a = run_counting_mean_pool(hidden[i], msk[i], cc)
+            b = run_counting_mean_pool(hidden[i], msk[i], dc)
+        if a is None or b is None:
+            # the reference would crash (None / count); degenerate rows
+            # keep a zero concat like the pair-head scorer's rule
+            continue
+        pooled[i, :hs] = a
+        pooled[i, hs:] = b
+    return head.apply(pooled)
+
+
 def score_candidates(
     w: ElectraWeights,
     token_ids: list[list[int]],

@@ -56,37 +56,96 @@ def _stable_jitter(key: str) -> float:
     return (h % 10_000) / 200_000.0
 
 
+_TRIGGER_ARR = np.fromiter(sorted(_TRIGGER_IDS), np.int64, len(_TRIGGER_IDS))
+
+
 def _score_rows(pdf: pd.DataFrame) -> pd.DataFrame:
-    out = []
-    for r in pdf.itertuples(index=False):
-        ids = np.asarray(r.token_ids, dtype=np.int64)
-        mask = np.asarray(r.entity_mask, dtype=np.int64)
-        chem_idx = np.flatnonzero(mask == r.chem_code)
-        dis_idx = np.flatnonzero(mask == r.dis_code)
-        pred = 0
-        if len(chem_idx) and len(dis_idx):
-            # span gather: tokens strictly between the two entity spans
-            lo = min(chem_idx.max(), dis_idx.max())
-            hi = max(chem_idx.min(), dis_idx.min())
-            between = ids[lo + 1 : hi] if hi > lo + 1 else ids[0:0]
-            if r.evidence_type in ("intra", "inter_fartoken") and any(
-                int(t) in _TRIGGER_IDS for t in between
-            ):
-                pred = 1
-        jit = _stable_jitter(f"{r.url}|{r.chem_mesh}|{r.dis_mesh}")
-        prob = (0.9 + jit) if pred else (0.05 + jit)
+    """Batch scorer over feature rows — fully vectorized (numpy segment
+    ops over the ragged token arrays; no per-row python array scans):
+
+    - per-row chem/dis span extents via ``minimum.at``/``maximum.at``
+      scatter-reductions on the concatenated mask,
+    - the causal-trigger test ("induc*" token strictly BETWEEN the two
+      entity spans) as one ``isin`` + interval mask + ``bincount`` over
+      the concatenated ids — semantics identical to the original
+      per-row loop (pytest-pinned outputs unchanged)."""
+    cols = [c.split(" ")[0] for c in SCORED_SCHEMA.split(", ")]
+    n = len(pdf)
+    if n == 0:
+        return pd.DataFrame(columns=cols)
+    tok_list = pdf["token_ids"].tolist()
+    msk_list = pdf["entity_mask"].tolist()
+    lens = np.fromiter((len(x) for x in tok_list), np.int64, n)
+    total = int(lens.sum())
+    offs = np.zeros(n, np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    flat_ids = (
+        np.concatenate([np.asarray(x, np.int64) for x in tok_list])
+        if total
+        else np.zeros(0, np.int64)
+    )
+    flat_msk = (
+        np.concatenate([np.asarray(x, np.int64) for x in msk_list])
+        if total
+        else np.zeros(0, np.int64)
+    )
+    row_of = np.repeat(np.arange(n), lens)
+    pos = np.arange(total) - offs[row_of]
+
+    ccodes = pdf["chem_code"].to_numpy(np.int64)
+    dcodes = pdf["dis_code"].to_numpy(np.int64)
+    is_c = flat_msk == ccodes[row_of]
+    is_d = flat_msk == dcodes[row_of]
+
+    def _extents(sel: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        mn = np.full(n, np.iinfo(np.int64).max)
+        mx = np.full(n, -1)
+        np.minimum.at(mn, row_of[sel], pos[sel])
+        np.maximum.at(mx, row_of[sel], pos[sel])
+        return mn, mx
+
+    cmin, cmax = _extents(is_c)
+    dmin, dmax = _extents(is_d)
+    has = (cmax >= 0) & (dmax >= 0)
+    # span gather window: strictly between min(maxes) and max(mins)
+    lo = np.minimum(cmax, dmax)
+    hi = np.maximum(cmin, dmin)
+    trig_elem = (
+        np.isin(flat_ids, _TRIGGER_ARR)
+        & (pos > lo[row_of])
+        & (pos < hi[row_of])
+        & has[row_of]
+    )
+    trig_row = np.bincount(row_of[trig_elem], minlength=n) > 0
+    ev_ok = pdf["evidence_type"].isin(("intra", "inter_fartoken")).to_numpy()
+    pred = (has & trig_row & ev_ok).astype(np.int64)
+
+    jit = np.fromiter(
+        (
+            _stable_jitter(f"{u}|{c}|{d}")
+            for u, c, d in zip(pdf["url"], pdf["chem_mesh"], pdf["dis_mesh"])
+        ),
+        np.float64,
+        n,
+    )
+    prob = np.where(pred == 1, 0.9, 0.05) + jit
+    if "enc_logit" in pdf.columns:
         # numpy-encoder backend: the encoder logit deterministically
         # modulates the probability tail (decision unchanged)
-        enc = getattr(r, "enc_logit", None)
-        if enc is not None and not (isinstance(enc, float) and np.isnan(enc)):
-            prob += 1e-9 * float(np.tanh(enc))
-        out.append(
-            {"url": r.url, "chem_mesh": r.chem_mesh, "dis_mesh": r.dis_mesh,
-             "label": int(r.label), "evidence_type": r.evidence_type,
-             "pred": pred, "prob": float(prob)}
-        )
-    cols = [c.split(" ")[0] for c in SCORED_SCHEMA.split(", ")]
-    return pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+        enc = pdf["enc_logit"].to_numpy(np.float64)
+        prob = prob + np.where(np.isnan(enc), 0.0, 1e-9 * np.tanh(enc))
+    return pd.DataFrame(
+        {
+            "url": pdf["url"].values,
+            "chem_mesh": pdf["chem_mesh"].values,
+            "dis_mesh": pdf["dis_mesh"].values,
+            "label": pdf["label"].astype("int64").to_numpy(),
+            "evidence_type": pdf["evidence_type"].values,
+            "pred": pred,
+            "prob": prob,
+        },
+        columns=cols,
+    )
 
 
 def score_pairs(features: DataFrame, backend: str = "stub") -> DataFrame:
@@ -95,11 +154,17 @@ def score_pairs(features: DataFrame, backend: str = "stub") -> DataFrame:
     backend="electra" runs the EXACT reference architecture
     (scoring/electra.py: embeddings -> 12-layer encoder -> first-token
     span pooling -> concat -> dense/gelu/out_proj) with seeded weights
-    per executor; the emitted DECISION stays the deterministic trigger
-    rule (CI needs exact P/R without real checkpoint weights) while the
-    real head logit modulates the probability tail — identical plumbing
-    to what loading converted weights via ElectraWeights.load_npz would
-    score with."""
+    per executor — here in the NON-full-sample shape (one padded
+    sequence per candidate row, the train_sentence entry point,
+    electra_model.py:676-690), matching this modular path's row-level
+    input; the fused doc-level path (fused_score_docs) uses the
+    is_full_sample document-level forward instead.  The emitted
+    DECISION stays the deterministic trigger rule (CI needs exact P/R
+    without real checkpoint weights) while the real head logit
+    modulates the probability tail — identical plumbing to what loading
+    converted weights via ElectraWeights.load_npz would score with.
+    For raw logits as the output (the kernel made load-bearing), see
+    ``score_fulltext``."""
     if backend == "onnx":  # pragma: no cover - not available in sandbox
         try:
             import onnxruntime  # noqa: F401
@@ -134,6 +199,107 @@ def _electra_weights():
     return _ELECTRA_WEIGHTS
 
 
+FULLSAMPLE_SCHEMA = (
+    "url string, chem_mesh string, dis_mesh string, label int, "
+    "logit_neg double, logit_pos double, margin double"
+)
+
+
+def score_fulltext(
+    fulltext: DataFrame,
+    config=None,
+    seed: int = 0,
+    npz_path: str | None = None,
+    batch_size: int = 8,
+) -> DataFrame:
+    """Document-level exact-architecture scoring: FULLTEXT_SCHEMA rows
+    (operators/features.fulltext_features) -> one row per REAL pair with
+    the is_full_sample logits (electra_model.py:711-734 via
+    scoring/electra.full_sample_forward — ONE encoder pass per document
+    scores ALL its pairs).
+
+    label_length is the micro-batch's max real pair count (the levi
+    trainer uses the batch label width, cdr_trainer_levi.py:341); pad
+    pairs are computed by the kernel, faithfully, then dropped here —
+    only real pairs are emitted.  Weights are lazy per executor from
+    (config, seed) or the .npz plug point."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .electra import DEFAULT_CONFIG, ElectraWeights, full_sample_forward
+
+        cfg = config or DEFAULT_CONFIG
+        if npz_path is not None:
+            w = ElectraWeights.load_npz(npz_path, cfg)
+        else:
+            w = ElectraWeights.seeded(cfg, seed)
+        cols = [c.split(" ")[0] for c in FULLSAMPLE_SCHEMA.split(", ")]
+        for pdf in batches:
+            out = []
+            for lo in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[lo : lo + batch_size]
+                labels = [list(x) for x in chunk["labels"]]
+                ll = max(len(x) for x in labels)
+                logits = full_sample_forward(
+                    w,
+                    [list(x) for x in chunk["token_ids"]],
+                    [list(x) for x in chunk["entity_mask"]],
+                    [list(x) for x in chunk["chem_codes"]],
+                    [list(x) for x in chunk["dis_codes"]],
+                    label_length=ll,
+                )
+                for b, row in enumerate(chunk.itertuples(index=False)):
+                    cms, dms = list(row.chem_meshes), list(row.dis_meshes)
+                    k = 0
+                    for cm in cms:
+                        for dm in dms:
+                            out.append(
+                                {
+                                    "url": row.url,
+                                    "chem_mesh": cm,
+                                    "dis_mesh": dm,
+                                    "label": int(labels[b][k]),
+                                    "logit_neg": float(logits[b, k, 0]),
+                                    "logit_pos": float(logits[b, k, 1]),
+                                    "margin": float(logits[b, k, 1] - logits[b, k, 0]),
+                                }
+                            )
+                            k += 1
+            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+
+    return fulltext.mapInPandas(run, schema=FULLSAMPLE_SCHEMA)
+
+
+def _fullsample_margins(
+    fulltext_rows: list[dict], batch_size: int = 8
+) -> dict[tuple[str, str, str], float]:
+    """Run the is_full_sample document-level forward over featurized
+    fulltext rows; returns {(url, chem_mesh, dis_mesh): margin}.  One
+    encoder pass per document scores all its pairs
+    (electra_model.py:711-734)."""
+    from .electra import full_sample_forward
+
+    w = _electra_weights()
+    out: dict[tuple[str, str, str], float] = {}
+    for lo in range(0, len(fulltext_rows), batch_size):
+        chunk = fulltext_rows[lo : lo + batch_size]
+        ll = max(len(r["labels"]) for r in chunk)
+        logits = full_sample_forward(
+            w,
+            [r["token_ids"] for r in chunk],
+            [r["entity_mask"] for r in chunk],
+            [r["chem_codes"] for r in chunk],
+            [r["dis_codes"] for r in chunk],
+            label_length=ll,
+        )
+        for b, r in enumerate(chunk):
+            k = 0
+            for cm in r["chem_meshes"]:
+                for dm in r["dis_meshes"]:
+                    out[(r["url"], cm, dm)] = float(logits[b, k, 1] - logits[b, k, 0])
+                    k += 1
+    return out
+
+
 def _electra_margins(pdf: pd.DataFrame) -> np.ndarray:
     """Real-architecture positive-class logit margin per feature row
     (the non-full-sample forward: one padded batch per micro-chunk,
@@ -148,6 +314,84 @@ def _electra_margins(pdf: pd.DataFrame) -> np.ndarray:
         [int(x) for x in pdf["dis_code"]],
     )
     return logits[:, 1] - logits[:, 0]
+
+
+ALPS_SCHEMA = "url string, kind string, e1 string, e2 string, margin double"
+
+
+def score_alps_3way(
+    fulltext: DataFrame,
+    config=None,
+    seed: int = 0,
+    head_seed: int = 2,
+    batch_size: int = 8,
+) -> DataFrame:
+    """ALPS 3-way tanh-head scoring (reference electra_model.py:273-411)
+    over document-level features: per document, one row per exercisable
+    -1 branch of the forward —
+
+      kind 'chem_dis'   (other == -1): pool chem0 + dis0
+      kind 'other_dis'  (chem == -1):  pool dis0 + other (2nd chemical
+                                       standing in for the Other type)
+      kind 'other_chem' (dis == -1):   pool chem0 + other (2nd disease)
+
+    The CDR corpus has no Other-type gazetteer entries, so the 3-way
+    kinds borrow the document's second entity of the opposite type as
+    the deterministic stand-in — the FORWARD (run-counting mean pooling
+    + branch-ordered concat + dense/tanh/out_proj) is the exact ALPS
+    kernel either way, parity-pinned by
+    tests/test_electra.py::test_alps_forward_parity."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .electra import DEFAULT_CONFIG, AlpsHead, ElectraWeights, alps_forward
+
+        cfg = config or DEFAULT_CONFIG
+        w = ElectraWeights.seeded(cfg, seed)
+        head = AlpsHead.seeded(cfg, head_seed)
+        cols = ["url", "kind", "e1", "e2", "margin"]
+        for pdf in batches:
+            rows: list[dict] = []
+            for r in pdf.itertuples(index=False):
+                cms, dms = list(r.chem_meshes), list(r.dis_meshes)
+                ccs, dcs = list(r.chem_codes), list(r.dis_codes)
+                base = dict(token_ids=list(r.token_ids), mask=list(r.entity_mask))
+                rows.append(
+                    {**base, "url": r.url, "kind": "chem_dis",
+                     "cc": ccs[0], "dc": dcs[0], "oc": -1,
+                     "e1": cms[0], "e2": dms[0]}
+                )
+                if len(ccs) > 1:
+                    rows.append(
+                        {**base, "url": r.url, "kind": "other_dis",
+                         "cc": -1, "dc": dcs[0], "oc": ccs[1],
+                         "e1": cms[1], "e2": dms[0]}
+                    )
+                if len(dcs) > 1:
+                    rows.append(
+                        {**base, "url": r.url, "kind": "other_chem",
+                         "cc": ccs[0], "dc": -1, "oc": dcs[1],
+                         "e1": dms[1], "e2": cms[0]}
+                    )
+            out = []
+            for lo in range(0, len(rows), batch_size):
+                chunk = rows[lo : lo + batch_size]
+                logits = alps_forward(
+                    w, head,
+                    [x["token_ids"] for x in chunk],
+                    [x["mask"] for x in chunk],
+                    [x["cc"] for x in chunk],
+                    [x["dc"] for x in chunk],
+                    [x["oc"] for x in chunk],
+                )
+                for i, x in enumerate(chunk):
+                    out.append(
+                        {"url": x["url"], "kind": x["kind"], "e1": x["e1"],
+                         "e2": x["e2"],
+                         "margin": float(logits[i, 1] - logits[i, 0])}
+                    )
+            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+
+    return fulltext.mapInPandas(run, schema=ALPS_SCHEMA)
 
 
 def fused_score_docs(
@@ -231,6 +475,7 @@ def fused_score_docs(
         cols = [c.split(" ")[0] for c in SCORED_SCHEMA.split(", ")]
         for pdf in batches:
             feat_rows = []
+            fulltext_rows: list[dict] = []
             for r in pdf.itertuples(index=False):
                 # poison-row guard: extract_text yields NULL for pages
                 # whose html strips to empty and text is NULL — skip,
@@ -269,6 +514,12 @@ def fused_score_docs(
                     if gold and use_levi
                     else set()
                 )
+                if use_electra:
+                    from ..operators.features import fulltext_featurize_py
+
+                    ft = fulltext_featurize_py(r.text, ents, gold)
+                    if ft is not None:
+                        fulltext_rows.append({"url": r.url, **ft})
                 doc = DocIndex(r.text, sentence_splitter)
                 doc_row0 = len(feat_rows)
                 pair_spans = []
@@ -314,9 +565,22 @@ def fused_score_docs(
             if feat_rows:
                 fdf = pd.DataFrame(feat_rows)
                 if use_electra:
-                    # exact-architecture forward over the batch's padded
-                    # candidate rows (train_sentence shape, SURVEY §3.1)
-                    fdf = fdf.assign(enc_logit=_electra_margins(fdf))
+                    # exact-architecture DOCUMENT-LEVEL forward (the
+                    # is_full_sample shape, electra_model.py:711-734):
+                    # one encoder pass per doc scores all its pairs;
+                    # margins join back to the surviving feature rows
+                    # by (url, chem, dis).  Pairs whose entity was
+                    # truncated out of the 512-token fulltext window
+                    # keep enc_logit = NaN (prob tail unmodulated).
+                    margins = _fullsample_margins(fulltext_rows)
+                    fdf = fdf.assign(
+                        enc_logit=[
+                            margins.get((u, c, d), float("nan"))
+                            for u, c, d in zip(
+                                fdf["url"], fdf["chem_mesh"], fdf["dis_mesh"]
+                            )
+                        ]
+                    )
                 yield _score_rows(fdf)
             else:
                 yield pd.DataFrame(columns=cols)

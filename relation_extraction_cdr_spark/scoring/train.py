@@ -20,7 +20,12 @@ Design (and why it scales to 10^12 docs / 1000 executors):
    first-token span pooling (reference electra_model.py:618-624) inside
    ``mapInPandas`` — the expensive O(corpus) stage, embarrassingly
    parallel, executed once and persisted.  Output: one ``[2H]`` float
-   feature row per candidate pair.
+   feature row per candidate pair.  Scope note: the bit-invariance
+   guarantee below starts AT these pooled features — pooling runs
+   float32 BLAS GEMMs whose pad widths depend on micro-batch
+   composition, so repartitioning the *features* frame can flip
+   last-ulp feature bits (quantization absorbs ~6e-5); everything
+   downstream of a fixed pooling layout is exactly invariant.
 2. ``head_grad_rows`` + ``aggregate_grads``: per epoch, head params are
    broadcast (plan literals via closure → task binary), each partition
    computes its gradient contribution and the driver applies the
@@ -147,20 +152,40 @@ def pool_features(
     seed: int = 0,
     npz_path: str | None = None,
     batch_size: int = 16,
+    pooling: str = "first_token",
 ) -> DataFrame:
     """FEATURES_SCHEMA rows -> POOLED_SCHEMA rows.
 
+    ``pooling`` selects the reference's span-pooling variant (A3/M3) —
+    the head trains identically either way, and every variant keeps the
+    bit-determinism contract (pooling happens before quantization, so
+    the fixed layout scope note below applies to all):
+
+    - "first_token" (default): hidden state at the FIRST position whose
+      mask equals the code — the train_sentence entry point
+      (electra_model.py:618-624)
+    - "run_mean": sum over ALL matching positions ÷ number of
+      contiguous runs (electra_model.py:205-219 / the ALPS pooler
+      :360-377)
+    - "all_match": mean over ALL matching positions (the is_full_sample
+      pooler, electra_model.py:626-641, with its dead first-of-run
+      branch pinned)
+
     Runs the frozen encoder once per micro-batch (pad+stack per
-    reference sequence_padding.py:18-44) and first-token span pooling
+    reference sequence_padding.py:18-44) and the selected span pooling
     per row; the ``[2H]`` concat(chem, dis) is the pair head's input
-    (reference electra_model.py:671-675).  Rows whose chem or dis code
-    never appears in the mask pool to zeros on that half — the same
-    degenerate-row behavior as scoring (score_candidates).
+    (reference electra_model.py:671-675).  Rows missing EITHER code in
+    the mask pool to an all-zero concat — the same degenerate-row rule
+    as scoring (score_candidates: ``has = mc.any & md.any``), so a head
+    trained on pooled features sees the identical feature vector at
+    inference (no train/serve skew).
 
     Executor-side weights are reconstructed lazily per process from
     (config, seed) or the .npz plug point — nothing large crosses the
     closure; this is the broadcast-once-per-executor idiom.
     """
+    if pooling not in ("first_token", "run_mean", "all_match"):
+        raise ValueError(f"unknown pooling {pooling!r}")
     key, pad_id = _config_key(config), 0
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -202,16 +227,35 @@ def pool_features(
                         [np.asarray(x, np.int64) for x in msks[lo:hi]]
                     )
                 hidden = encoder_forward(w, ids, att)
-                # vectorized first_token_pool (electra.py): hidden state
-                # at the FIRST position whose mask equals the code;
-                # rows without the code keep the zero half
+                # vectorized span pooling (variants of electra.py's
+                # first_token_pool / run_counting_mean_pool /
+                # all_match_pool); a row missing EITHER code keeps a
+                # fully-zero concat — score_candidates' degenerate rule
                 rows = np.arange(b)
-                for half, codes in ((slice(0, hs), ccs[lo:hi]),
-                                    (slice(hs, 2 * hs), dcs[lo:hi])):
-                    m = mrows == codes[:, None]
-                    has = m.any(axis=1)
-                    first = m.argmax(axis=1)
-                    feats[lo:hi, half][has] = hidden[rows[has], first[has]]
+                mc = mrows == ccs[lo:hi, None]
+                md = mrows == dcs[lo:hi, None]
+                has = mc.any(axis=1) & md.any(axis=1)
+
+                def pool(m: np.ndarray) -> np.ndarray:
+                    if pooling == "first_token":
+                        return hidden[rows[has], m.argmax(axis=1)[has]]
+                    sums = np.einsum(
+                        "bt,bth->bh", m[has].astype(np.float32), hidden[has]
+                    )
+                    if pooling == "all_match":
+                        cnt = m[has].sum(axis=1)
+                    else:  # run_mean: contiguous-run count per row
+                        starts = m & ~np.concatenate(
+                            [np.zeros((b, 1), bool), m[:, :-1]], axis=1
+                        )
+                        cnt = starts[has].sum(axis=1)
+                    return (sums / cnt[:, None].astype(np.float32)).astype(
+                        np.float32
+                    )
+
+                blk = feats[lo:hi]
+                blk[has, :hs] = pool(mc)
+                blk[has, hs:] = pool(md)
             yield pd.DataFrame(
                 {
                     "url": pdf["url"].values,
@@ -444,10 +488,36 @@ class AdamWRef:
 
 
 def warmup_linear(x: float, warmup: float = 0.002) -> float:
-    """reference optim.py:24-27."""
+    """reference optim.py:25-28."""
     if x < warmup:
         return x / warmup
     return 1.0 - x
+
+
+def warmup_cosine(x: float, warmup: float = 0.002) -> float:
+    """reference optim.py:15-18: past warmup the lr multiplier follows
+    0.5*(1+cos(pi*x)) — NOT rescaled to start at the end of warmup, so
+    the multiplier jumps from 1.0 to cos-curve at x == warmup (quirk
+    kept; the reference applies torch.cos to a python float, which
+    works because math.pi * x is promoted)."""
+    if x < warmup:
+        return x / warmup
+    return 0.5 * (1.0 + math.cos(math.pi * x))
+
+
+def warmup_constant(x: float, warmup: float = 0.002) -> float:
+    """reference optim.py:20-23."""
+    if x < warmup:
+        return x / warmup
+    return 1.0
+
+
+# reference optim.py:30-34
+SCHEDULES = {
+    "warmup_cosine": warmup_cosine,
+    "warmup_constant": warmup_constant,
+    "warmup_linear": warmup_linear,
+}
 
 
 @dataclass
@@ -461,6 +531,7 @@ class BertAdamRef:
     lr: float = 5e-4
     warmup: float = 0.1
     t_total: int = 800
+    schedule: str = "warmup_linear"  # any key of SCHEDULES (optim.py:30-34)
     b1: float = 0.9
     b2: float = 0.999
     e: float = 1e-6
@@ -469,6 +540,7 @@ class BertAdamRef:
     state: dict = field(default_factory=dict)
 
     def step(self, hp: HeadParams, grads: dict[str, np.ndarray]) -> None:
+        sched_fn = SCHEDULES[self.schedule]
         for name, p in hp.tensors():
             grad = grads[name].astype(np.float32)
             st = self.state.setdefault(
@@ -488,7 +560,7 @@ class BertAdamRef:
             if self.weight_decay_rate > 0:
                 update = update + self.weight_decay_rate * p
             if self.t_total != -1:
-                lr_sched = self.lr * warmup_linear(
+                lr_sched = self.lr * sched_fn(
                     st["step"] / self.t_total, self.warmup
                 )
             else:

@@ -117,3 +117,121 @@ def forward_one(
     x = gelu_exact(x)
     logits = x @ p["head.out.w"] + p["head.out.b"]
     return h, logits
+
+
+# --------------------------------------------------------------------------
+# literal transcriptions of the pooling variants and the is_full_sample /
+# NER / ALPS forwards (reference electra_model.py:205-219, 360-377,
+# 626-734, 767-829)
+# --------------------------------------------------------------------------
+
+
+def pool_run_counting_one(token_embedding, masked_entities, code):
+    """get_entity_embedding of electra_model.py:205-219 (and the ALPS
+    twin at :360-377): run-counted mean, transcribed verbatim."""
+    count = 0
+    embedding = np.zeros(token_embedding.shape[1], np.float64)
+    check = True
+    for i, mask in enumerate(masked_entities):
+        if mask == code:
+            if check:
+                count += 1
+                check = False
+            embedding = embedding + token_embedding[i]
+        else:
+            check = True
+    embedding = embedding / count  # absent code -> ZeroDivision (torch: nan)
+    return embedding
+
+
+def pool_all_match_one(token_embedding, masked_entities, code):
+    """get_all_entity_embedding (electra_model.py:626-641) transcribed
+    verbatim INCLUDING the dead 'get first embedding' branch."""
+    embedding_size = token_embedding.shape[-1]
+    embedding = []
+    current_idx = 0
+    for i, mask in enumerate(masked_entities):
+        if mask == code:
+            if i != current_idx - 1:  # get first embedding (dead: always true)
+                embedding.append(token_embedding[i])
+            current_idx = i
+    if len(embedding) == 0:
+        embedding = [np.zeros(embedding_size, np.float64)]
+    return np.stack(embedding).mean(axis=0)
+
+
+def generate_code_pairs_list_one(chem_codes, dis_codes, label_len):
+    """generate_code_pairs_list (electra_model.py:645-663) verbatim."""
+    chemical_codes = []
+    disease_codes = []
+    for i in range(len(chem_codes)):
+        if chem_codes[i] == -1:
+            break
+        for j in range(len(dis_codes)):
+            if dis_codes[j] == -1:
+                break
+            chemical_codes.append(chem_codes[i])
+            disease_codes.append(dis_codes[j])
+    for i in range(len(chemical_codes), label_len):
+        chemical_codes.append(-1)
+        disease_codes.append(-1)
+    return chemical_codes, disease_codes
+
+
+def forward_full_sample_one(
+    w, input_ids, attention_mask, entity_mask, chem_codes, dis_codes, label_length
+):
+    """One document through the is_full_sample branch
+    (electra_model.py:711-734): per-pair all-match pooling over the SAME
+    single encoder pass, then the gelu pair head; returns [L, 2]."""
+    p = w.p
+    h = encode_one(w, input_ids, attention_mask)
+    ccs, dcs = generate_code_pairs_list_one(chem_codes, dis_codes, label_length)
+    current_output = []
+    for j in range(len(ccs)):
+        chem = pool_all_match_one(h, entity_mask, ccs[j])
+        dis = pool_all_match_one(h, entity_mask, dcs[j])
+        r_rep = np.concatenate([chem, dis])
+        current_output.append(r_rep)
+    x = np.stack(current_output)
+    x = x @ p["head.dense.w"] + p["head.dense.b"]
+    x = gelu_exact(x)
+    return x @ p["head.out.w"] + p["head.out.b"]
+
+
+def ner_forward_one(w, head, input_ids, attention_mask, entity_token_ids):
+    """ElectraModelEntityTokenClassification.forward (electra_model.py:
+    767-829) for one document: gather hidden states at the marked
+    entity-token indices, dense -> gelu -> out_proj."""
+    h = encode_one(w, input_ids, attention_mask)
+    rows = []
+    for idx in entity_token_ids:
+        rows.append(h[idx])
+    x = np.stack(rows)
+    x = x @ head.dense_w + head.dense_b
+    x = gelu_exact(x)
+    return x @ head.out_w + head.out_b
+
+
+def alps_forward_one(
+    w, head, input_ids, attention_mask, entity_mask, chem_code, dis_code, other_code
+):
+    """ElectraModelClassificationALPS.forward (electra_model.py:306-411)
+    for one example: run-counting mean pooling of the two present codes,
+    concat in the reference's branch order, dense -> TANH -> out_proj."""
+    h = encode_one(w, input_ids, attention_mask)
+    if chem_code == -1:
+        other_embedding = pool_run_counting_one(h, entity_mask, other_code)
+        disease_embedding = pool_run_counting_one(h, entity_mask, dis_code)
+        entity_embedding = np.concatenate([disease_embedding, other_embedding])
+    elif dis_code == -1:
+        chemical_embedding = pool_run_counting_one(h, entity_mask, chem_code)
+        other_embedding = pool_run_counting_one(h, entity_mask, other_code)
+        entity_embedding = np.concatenate([chemical_embedding, other_embedding])
+    else:
+        chemical_embedding = pool_run_counting_one(h, entity_mask, chem_code)
+        disease_embedding = pool_run_counting_one(h, entity_mask, dis_code)
+        entity_embedding = np.concatenate([chemical_embedding, disease_embedding])
+    x = entity_embedding @ head.dense_w + head.dense_b
+    x = np.tanh(x)
+    return x @ head.out_w + head.out_b

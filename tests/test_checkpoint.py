@@ -105,6 +105,17 @@ class TestCheckpointSink:
         assert np.array_equal(encoder_forward(back, ids, att),
                               encoder_forward(w, ids, att))
 
+    def test_suffixless_path_roundtrips(self, tmp_path):
+        """np.savez silently appends '.npz' to bare paths when given a
+        string; save_checkpoint writes through a file handle so the path
+        stored by BestCheckpoint is the file actually on disk."""
+        w = ElectraWeights.seeded(TINY, seed=5)
+        p = tmp_path / "best"  # no suffix
+        save_checkpoint(w, p)
+        assert p.exists() and not (tmp_path / "best.npz").exists()
+        back = load_checkpoint(p, TINY)
+        assert _weights_equal(back.p, w.p)
+
     def test_best_tracking_strict_greater(self, tmp_path):
         """cdr_trainer.py:464-468: save on first epoch (best is None)
         and on strict f1 improvement; a tie does NOT move best_epoch."""

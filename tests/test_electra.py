@@ -140,6 +140,234 @@ def test_npz_roundtrip(tmp_path):
     assert all(np.array_equal(w.p[k], w2.p[k]) for k in w.p)
 
 
+# --------------------------------------------------------------------------
+# pooling variants + is_full_sample / NER / ALPS forward parity (round 3)
+# --------------------------------------------------------------------------
+
+
+def test_run_counting_pool_parity():
+    """Sum over ALL matching positions / NUMBER OF RUNS
+    (electra_model.py:205-219): engine == literal port on multi-run,
+    multi-width masks."""
+    rng = np.random.default_rng(11)
+    hidden = rng.standard_normal((10, 8)).astype(np.float32)
+    mask = np.array([0, 3, 3, 0, 3, 0, 0, 3, 3, 3])  # 3 runs of code 3
+    got = E.run_counting_mean_pool(hidden, mask, 3)
+    ref = P.pool_run_counting_one(hidden.astype(np.float64), list(mask), 3)
+    assert np.allclose(got, ref, atol=1e-6)
+    # 6 matches / 3 runs — distinct from plain mean (6) and first-tokens
+    # mean (3): check against the hand rule
+    byhand = hidden[mask == 3].sum(axis=0) / 3.0
+    assert np.allclose(got, byhand, atol=1e-6)
+    assert E.run_counting_mean_pool(hidden, mask, 9) is None
+
+
+def test_all_match_pool_parity_dead_branch():
+    """get_all_entity_embedding's 'first embedding of each run' skip is
+    dead code — EVERY matching position contributes (electra_model.py:
+    626-641).  A contiguous run would expose a live branch."""
+    rng = np.random.default_rng(12)
+    hidden = rng.standard_normal((6, 4)).astype(np.float32)
+    mask = np.array([7, 7, 7, 0, 7, 0])  # one 3-run + one 1-run
+    got = E.all_match_pool(hidden, mask, 7)
+    ref = P.pool_all_match_one(hidden.astype(np.float64), list(mask), 7)
+    assert np.allclose(got, ref, atol=1e-6)
+    # dead branch means ALL 4 matches averaged, not just run heads
+    assert np.allclose(got, hidden[mask == 7].mean(axis=0), atol=1e-6)
+    # absent code -> mean of a single zero vector == zeros (not None)
+    assert np.array_equal(E.all_match_pool(hidden, mask, 9), np.zeros(4, np.float32))
+
+
+def test_generate_code_pairs_parity():
+    cases = [
+        ([1, 2], [3, 4], 6),        # 4 pairs + 2 pads
+        ([1, -1, 2], [3], 4),       # -1 stops the chem scan
+        ([1], [3, -1, 4], 3),       # -1 stops the dis scan per chem
+        ([-1], [3], 2),             # no pairs, all pads
+        ([1, 2], [3, 4], 2),        # more pairs than label_len: NO truncation
+    ]
+    for ccs, dcs, ll in cases:
+        got = E.generate_code_pairs(ccs, dcs, ll)
+        ref = P.generate_code_pairs_list_one(ccs, dcs, ll)
+        assert got == (list(ref[0]), list(ref[1])), (ccs, dcs, ll)
+
+
+def _fulltext_batch(config):
+    """Docs with several mentions per entity (multi-run masks) for the
+    document-level forward."""
+    sents = [
+        "x [E] lithium [/E] and [E] lithium [/E] induced [E] tremor [/E] .",
+        "[E] carbamazepine [/E] caused [E] dystonia [/E] and [E] ataxia [/E] .",
+    ]
+    ids, masks = [], []
+    codes = [([1], [2]), ([1], [2, 3])]  # (chem codes, dis codes) per doc
+    span_codes = [[1, 1, 2], [1, 2, 3]]
+    for s, sc in zip(sents, span_codes):
+        t = encode(s)[: config.max_position_embeddings]
+        m, cur, k = [], 0, -1
+        for x in t:
+            if x == 30522:
+                k += 1
+                cur = sc[k]
+                m.append(cur)
+            elif x == 30523:
+                m.append(cur)
+                cur = 0
+            else:
+                m.append(cur)
+        ids.append(t)
+        masks.append(m)
+    return ids, masks, [c for c, _ in codes], [d for _, d in codes]
+
+
+def test_full_sample_forward_parity():
+    """is_full_sample (electra_model.py:711-734): batched engine ==
+    literal per-doc port fed the SAME padded arrays (pad pairs pool the
+    -1 pad positions, faithfully)."""
+    w = E.ElectraWeights.seeded(CONSISTENT, seed=13)
+    ids, masks, ccs, dcs = _fulltext_batch(CONSISTENT)
+    L = 3  # doc0 has 2 pairs (1 pad), doc1 has 2... doc1: 1 chem x 2 dis = 2
+    got = E.full_sample_forward(w, ids, masks, ccs, dcs, label_length=L)
+    assert got.shape == (2, L, 2)
+    t = max(len(x) for x in ids)
+    for b in range(2):
+        pad = t - len(ids[b])
+        pids = list(ids[b]) + [0] * pad
+        patt = [1] * len(ids[b]) + [0] * pad
+        pmask = list(masks[b]) + [-1] * pad
+        ref = P.forward_full_sample_one(w, pids, patt, pmask, ccs[b], dcs[b], L)
+        assert np.allclose(got[b], ref, atol=5e-5), f"doc {b}"
+
+
+def test_full_sample_label_length_overflow_raises():
+    w = E.ElectraWeights.seeded(CONSISTENT, seed=13)
+    ids, masks, ccs, dcs = _fulltext_batch(CONSISTENT)
+    with pytest.raises(ValueError):
+        E.full_sample_forward(w, ids, masks, ccs, dcs, label_length=1)
+
+
+def test_ner_forward_parity():
+    """NER token head (electra_model.py:767-829): gather at entity
+    token indices + dense/gelu/out_proj; batched engine == per-doc
+    port."""
+    from relation_extraction_cdr_spark.operators.ner import ner_featurize_py
+
+    w = E.ElectraWeights.seeded(CONSISTENT, seed=14)
+    head = E.NerHead.seeded(CONSISTENT, seed=15)
+    texts = [
+        ("lithium induced tremor in rats", [
+            dict(start=0, end=7, type="Chemical"),
+            dict(start=16, end=22, type="Disease"),
+        ]),
+        ("carbamazepine did not cause dystonia", [
+            dict(start=0, end=13, type="Chemical"),
+            dict(start=28, end=36, type="Disease"),
+        ]),
+    ]
+    feats = [ner_featurize_py(t, ms) for t, ms in texts]
+    ids = [f["token_ids"] for f in feats]
+    idx = [f["entity_token_idx"] for f in feats]
+    got = E.ner_forward(w, head, ids, idx)
+    t = max(len(x) for x in ids)
+    for b in range(2):
+        pad = t - len(ids[b])
+        ref = P.ner_forward_one(
+            w, head, list(ids[b]) + [0] * pad, [1] * len(ids[b]) + [0] * pad, idx[b]
+        )
+        assert got[b].shape == (len(idx[b]), 2)
+        assert np.allclose(got[b], ref, atol=5e-5), f"doc {b}"
+
+
+def test_alps_forward_parity():
+    """ALPS 3-way tanh head (electra_model.py:306-411): run-counting
+    pooling + branch-ordered concat + tanh; engine == port for each of
+    the three -1 branches."""
+    w = E.ElectraWeights.seeded(CONSISTENT, seed=16)
+    head = E.AlpsHead.seeded(CONSISTENT, seed=17)
+    ids, masks, _, _ = _fulltext_batch(CONSISTENT)
+    # rows over doc0 (codes 1,2 present; 1 has TWO runs) and doc1 (1,2,3)
+    rows = [
+        (ids[0], masks[0], 1, 2, -1),   # other == -1
+        (ids[1], masks[1], 1, -1, 3),   # dis == -1
+        (ids[1], masks[1], -1, 2, 3),   # chem == -1
+    ]
+    got = E.alps_forward(
+        w, head,
+        [r[0] for r in rows], [r[1] for r in rows],
+        [r[2] for r in rows], [r[3] for r in rows], [r[4] for r in rows],
+    )
+    t = max(len(r[0]) for r in rows)
+    for i, (tid, msk, cc, dc, oc) in enumerate(rows):
+        pad = t - len(tid)
+        ref = P.alps_forward_one(
+            w, head,
+            list(tid) + [0] * pad, [1] * len(tid) + [0] * pad,
+            list(msk) + [-1] * pad, cc, dc, oc,
+        )
+        assert np.allclose(got[i], ref, atol=5e-5), f"row {i}"
+
+
+def test_score_fulltext_spark_matches_local_twin(spark, fixtures, mesh):
+    """Distributed is_full_sample scoring == the same kernel run
+    locally per document: one row per real pair, margins equal to the
+    single-doc forward (padding differences bounded by float32 GEMM
+    noise)."""
+    from relation_extraction_cdr_spark.operators.features import fulltext_features
+    from relation_extraction_cdr_spark.operators.mentions import detect_mentions
+    from relation_extraction_cdr_spark.plans.pipeline import (
+        _mesh_artifacts,
+        extracted_docs,
+    )
+    from relation_extraction_cdr_spark.scoring.scorer import score_fulltext
+
+    import pyspark.sql.functions as F
+
+    cfg = E.ElectraConfig(
+        vocab_size=30524, embedding_size=32, hidden_size=32,
+        num_hidden_layers=2, num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=512,
+    )
+    pages, _, gold = fixtures
+    docs = extracted_docs(pages.limit(10))
+    gaz, _, _ = _mesh_artifacts(mesh, "type")
+    m = detect_mentions(docs, gaz)
+    ents = (
+        m.groupBy("url", "mesh_id", "type")
+        .agg(F.array_sort(F.collect_list(F.struct("start", "end"))).alias("positions"))
+        .groupBy("url")
+        .agg(F.array_sort(F.collect_list(F.struct("mesh_id", "type", "positions"))).alias("entities"))
+    )
+    g = gold.groupBy("url").agg(
+        F.array_sort(F.collect_list(F.struct("chem_mesh", "dis_mesh"))).alias("gold_pairs")
+    )
+    ft = fulltext_features(docs.join(ents, "url").join(g, "url", "left"))
+    local_rows = ft.collect()
+    assert local_rows
+
+    w = E.ElectraWeights.seeded(cfg, seed=6)
+    expect: dict[tuple, tuple] = {}
+    for r in local_rows:
+        ll = len(r["labels"])
+        logits = E.full_sample_forward(
+            w, [list(r["token_ids"])], [list(r["entity_mask"])],
+            [list(r["chem_codes"])], [list(r["dis_codes"])], label_length=ll,
+        )
+        k = 0
+        for cm in r["chem_meshes"]:
+            for dm in r["dis_meshes"]:
+                expect[(r["url"], cm, dm)] = (
+                    int(r["labels"][k]), float(logits[0, k, 1] - logits[0, k, 0])
+                )
+                k += 1
+
+    got = score_fulltext(ft.repartition(4), config=cfg, seed=6).collect()
+    assert len(got) == len(expect) > 0
+    for row in got:
+        lab, margin = expect[(row["url"], row["chem_mesh"], row["dis_mesh"])]
+        assert row["label"] == lab
+        assert abs(row["margin"] - margin) < 5e-5, (row["url"], row["chem_mesh"])
+
+
 def test_electra_backend_end_to_end(spark, fixtures, mesh):
     """The exact-architecture backend runs distributed end-to-end and
     keeps the deterministic decisions (the real logit only modulates the

@@ -44,3 +44,141 @@ def test_resize_meta(spark):
     plan = MM.resize_meta(media, max_side=128).collect()
     for r in plan:
         assert max(r["target_w"], r["target_h"]) <= 128
+
+
+# --------------------------------------------------------------------------
+# real codecs (functions/codecs.py): PNG + WAV, stdlib-only
+# --------------------------------------------------------------------------
+
+
+class TestCodecs:
+    def test_png_roundtrip_all_filters_rgb(self):
+        """Encoder assigns filter r%5 per scanline, so a >=5-row image
+        exercises None/Sub/Up/Average/Paeth on decode."""
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            png_decode,
+            png_encode,
+        )
+
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, (7, 11, 3), dtype=np.uint8)
+        blob = png_encode(px)
+        assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+        back = png_decode(blob)
+        assert back.shape == (7, 11, 3)
+        assert np.array_equal(back, px)
+
+    def test_png_roundtrip_gray_and_rgba(self):
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            png_decode,
+            png_encode,
+        )
+
+        rng = np.random.default_rng(4)
+        for ch, shape in ((1, (6, 5)), (4, (9, 4, 4))):
+            px = rng.integers(0, 256, shape, dtype=np.uint8)
+            back = png_decode(png_encode(px))
+            assert back.shape == (shape[0], shape[1], ch)
+            assert np.array_equal(back.reshape(px.shape), px)
+
+    def test_png_known_bytes(self):
+        """Decode a byte-literal PNG (not produced by our encoder): a
+        2x2 RGB image written with filter 0 rows, pixels pinned."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import png_decode
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+        raw = bytes([0, 255, 0, 0, 0, 255, 0]) + bytes([0, 0, 0, 255, 9, 8, 7])
+        blob = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+        px = png_decode(blob)
+        expect = np.array(
+            [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [9, 8, 7]]], np.uint8
+        )
+        assert np.array_equal(px, expect)
+
+    def test_png_unsupported_raises(self):
+        import struct
+        import zlib
+
+        import pytest
+
+        from relation_extraction_cdr_spark.functions.codecs import png_decode
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+        blob = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+        with pytest.raises(NotImplementedError):
+            png_decode(blob)
+        with pytest.raises(ValueError):
+            png_decode(b"notapng")
+
+    def test_wav_roundtrip(self):
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            wav_decode,
+            wav_encode,
+        )
+
+        rng = np.random.default_rng(5)
+        s = rng.integers(-32768, 32767, (480, 2), dtype=np.int16)
+        back, rate = wav_decode(wav_encode(s, sample_rate=8000))
+        assert rate == 8000
+        assert np.array_equal(back, s)
+
+    def test_extract_features_real_png_and_wav(self, spark):
+        """The decode dispatch runs REAL codecs distributed: PNG feature
+        carries (w, h, ch, means), WAV carries (rate, n, ch, ...)."""
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            png_encode,
+            wav_encode,
+        )
+        from relation_extraction_cdr_spark.operators.multimodal import (
+            extract_features,
+        )
+
+        px = np.full((4, 6, 3), 100, np.uint8)
+        px[:, :, 1] = 200
+        wv = np.full(1600, 1024, np.int16)
+        rows = [
+            (1, "image", bytearray(png_encode(px)),
+             {"width": 6, "height": 4, "duration_ms": 0, "codec": "png"}),
+            (2, "audio", bytearray(wav_encode(wv, 16000)),
+             {"width": 0, "height": 0, "duration_ms": 100, "codec": "pcm16"}),
+        ]
+        media = spark.createDataFrame(
+            rows,
+            "media_id long, kind string, payload binary, "
+            "meta struct<width:int,height:int,duration_ms:int,codec:string>",
+        )
+        got = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+        f1 = got[1]
+        assert f1[:3] == [6.0, 4.0, 3.0]
+        assert abs(f1[4] - 100 / 255) < 1e-6 and abs(f1[5] - 200 / 255) < 1e-6
+        f2 = got[2]
+        assert f2[0] == 16.0 and f2[1] == 1600.0 and f2[2] == 1.0
+        assert abs(f2[3] - 1024 / 32768) < 1e-9

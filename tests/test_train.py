@@ -260,6 +260,57 @@ class TestOptimizers:
         assert np.isclose(opt2.state["w1"]["m"][0, 0], 0.1 * 0.01, atol=1e-8)
 
 
+class TestSchedules:
+    """reference optim.py:15-34: all three lr schedules with the
+    literal x >= warmup branch quirks."""
+
+    def test_schedule_values_pinned(self):
+        import math
+
+        from relation_extraction_cdr_spark.scoring.train import (
+            SCHEDULES,
+            warmup_constant,
+            warmup_cosine,
+            warmup_linear,
+        )
+
+        assert set(SCHEDULES) == {"warmup_cosine", "warmup_constant", "warmup_linear"}
+        # shared warmup ramp: x/warmup below the knee, 0 at x=0
+        for f in (warmup_linear, warmup_cosine, warmup_constant):
+            assert f(0.0, 0.1) == 0.0
+            assert f(0.05, 0.1) == 0.5
+        # linear: 1-x past warmup (goes NEGATIVE past x=1, quirk kept)
+        assert warmup_linear(0.5, 0.1) == 0.5
+        assert warmup_linear(1.25, 0.1) == -0.25
+        # constant: exactly 1.0 from the knee on
+        assert warmup_constant(0.1, 0.1) == 1.0
+        assert warmup_constant(0.9, 0.1) == 1.0
+        # cosine: 0.5*(1+cos(pi*x)) from the knee — DISCONTINUOUS at the
+        # knee (ramp tends to 1.0, curve starts at cos(pi*warmup) level)
+        assert warmup_cosine(0.1, 0.1) == 0.5 * (1.0 + math.cos(math.pi * 0.1))
+        assert abs(warmup_cosine(0.5, 0.1) - 0.5) < 1e-12
+        assert warmup_cosine(1.0, 0.1) == 0.5 * (1.0 + math.cos(math.pi))
+
+    def test_bertadam_schedule_option(self):
+        """BertAdamRef(schedule=...) drives the lr through the chosen
+        schedule: with zero grads + weight decay the movement at step 1
+        is exactly -lr*sched(1/t_total)*0.01*p for each schedule."""
+        from relation_extraction_cdr_spark.scoring.train import SCHEDULES
+
+        for name, fn in SCHEDULES.items():
+            hp = HeadParams(
+                np.zeros((2, 2), np.float32), np.full(2, 2.0, np.float32),
+                np.zeros((2, 2), np.float32), np.zeros(2, np.float32),
+            )
+            opt = BertAdamRef(schedule=name)
+            zero = {n: np.zeros_like(p) for n, p in hp.tensors()}
+            opt.step(hp, zero)  # step 0: sched(0)=0, no movement
+            assert hp.b1[0] == 2.0, name
+            opt.step(hp, zero)
+            lr1 = 5e-4 * fn(1 / 800, 0.1)
+            assert np.allclose(hp.b1, 2.0 - lr1 * 0.01 * 2.0, atol=1e-9), name
+
+
 class TestPoolFeatures:
     @pytest.fixture(scope="class")
     def tiny_cfg(self):
@@ -318,13 +369,84 @@ class TestPoolFeatures:
             msk = np.array(src["entity_mask"], np.int64)
             c = first_token_pool(hidden, msk, int(src["chem_code"]))
             d = first_token_pool(hidden, msk, int(src["dis_code"]))
+            # degenerate rows (either code absent) pool to an all-zero
+            # concat — the score_candidates rule, pinned in BOTH paths
             expect = np.zeros(2 * hs, np.float32)
-            if c is not None:
+            if c is not None and d is not None:
                 expect[:hs] = c
-            if d is not None:
                 expect[hs:] = d
             got = np.array(row["feat"], np.float32)
             assert np.allclose(got, expect, atol=2e-5), (row["url"], src["chem_mesh"])
+
+    def test_pooling_variants_match_kernels(self, spark, fixtures, mesh, tiny_cfg):
+        """pool_features(pooling=run_mean|all_match) == the electra.py
+        pooling kernels (themselves literal-port parity-tested) run
+        per row — the A3 variants are selectable for training."""
+        from relation_extraction_cdr_spark.operators.candidates import (
+            candidate_pairs,
+            label_pairs,
+        )
+        from relation_extraction_cdr_spark.operators.evidence import select_evidence
+        from relation_extraction_cdr_spark.operators.features import featurize
+        from relation_extraction_cdr_spark.operators.mentions import (
+            detect_mentions,
+            entity_inventory,
+        )
+        from relation_extraction_cdr_spark.plans.pipeline import (
+            _mesh_artifacts,
+            extracted_docs,
+        )
+        from relation_extraction_cdr_spark.scoring.electra import (
+            ElectraWeights,
+            all_match_pool,
+            encoder_forward,
+            run_counting_mean_pool,
+        )
+
+        pages, _, gold = fixtures
+        docs = extracted_docs(pages.limit(8))
+        gaz, _, _ = _mesh_artifacts(mesh, "type")
+        inv = entity_inventory(detect_mentions(docs, gaz))
+        pairs = label_pairs(candidate_pairs(inv), gold)
+        feats = featurize(select_evidence(pairs.join(docs, "url")))
+        raw = {
+            (r["url"], r["chem_mesh"], r["dis_mesh"]): r for r in feats.collect()
+        }
+        assert raw
+        w = ElectraWeights.seeded(tiny_cfg, seed=11)
+        hs = tiny_cfg.hidden_size
+        kernels = {"run_mean": run_counting_mean_pool, "all_match": all_match_pool}
+        for pooling, kern in kernels.items():
+            pooled = pool_features(
+                feats, config=tiny_cfg, seed=11, pooling=pooling
+            ).collect()
+            assert len(pooled) == len(raw)
+            for row in pooled:
+                src = raw[(row["url"], row["chem_mesh"], row["dis_mesh"])]
+                ids = np.array([src["token_ids"]], np.int64)
+                hidden = encoder_forward(w, ids, np.ones_like(ids, np.float32))[0]
+                msk = np.array(src["entity_mask"], np.int64)
+                c = kern(hidden, msk, int(src["chem_code"]))
+                d = kern(hidden, msk, int(src["dis_code"]))
+                expect = np.zeros(2 * hs, np.float32)
+                # all_match returns zeros (not None) for absent codes;
+                # the degenerate gate still zeroes BOTH halves
+                c_has = (msk == int(src["chem_code"])).any()
+                d_has = (msk == int(src["dis_code"])).any()
+                if c_has and d_has:
+                    expect[:hs] = c
+                    expect[hs:] = d
+                got = np.array(row["feat"], np.float32)
+                assert np.allclose(got, expect, atol=2e-5), (pooling, row["url"])
+
+    def test_pooling_variant_rejects_unknown(self, spark, tiny_cfg):
+        import pytest
+
+        from relation_extraction_cdr_spark.operators.features import FEATURES_SCHEMA
+
+        empty = spark.createDataFrame([], FEATURES_SCHEMA)
+        with pytest.raises(ValueError, match="unknown pooling"):
+            pool_features(empty, config=tiny_cfg, pooling="cls")
 
     def test_end_to_end_train_on_cdr_features(self, spark, fixtures, mesh, tiny_cfg):
         """The full M4/M5 path: corpus → features → frozen-encoder
