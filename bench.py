@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -89,7 +90,7 @@ def main() -> None:
     # Each query runs REPS timed repetitions after one warm run; the
     # reported per-query number is the MEDIAN and every wall is emitted
     # in "walls" so a future round can re-adjudicate any delta.
-    REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     all_walls: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -103,7 +104,7 @@ def main() -> None:
             materialize(QUERIES[name](spark, SF_DIR))
             walls.append(round(time.perf_counter() - t0, 3))
         all_walls[name] = walls
-        timings[name] = sorted(walls)[len(walls) // 2]  # median
+        timings[name] = round(statistics.median(walls), 3)
 
     # end-to-end CDR pipeline throughput on a generated pages corpus
     pages = datagen.gen_pages_df(spark, PIPELINE_PAGES).cache()
@@ -123,7 +124,7 @@ def main() -> None:
         n_triples = triples.count()
         walls.append(round(time.perf_counter() - t0, 3))
     all_walls["pipeline_e2e"] = walls
-    pipe_sec = sorted(walls)[len(walls) // 2]
+    pipe_sec = round(statistics.median(walls), 3)
     timings["pipeline_e2e"] = pipe_sec
     pages.unpersist()
 

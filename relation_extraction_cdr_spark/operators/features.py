@@ -185,9 +185,19 @@ def fulltext_featurize_py(
     if not use_entity_token:
         ids = [x for x in ids if x not in (E_START_ID, E_END_ID)]
     present = set(mask)
-    types = {e["mesh_id"]: e["type"] for e in entities}
-    chem_all = [e["mesh_id"] for e in entities if types[e["mesh_id"]] == "Chemical"]
-    dis_all = [e["mesh_id"] for e in entities if types[e["mesh_id"]] == "Disease"]
+    # one entity per mesh_id (the reference inventory is a dict keyed by
+    # mesh_id, so duplicates cannot exist there; caller-supplied entity
+    # lists CAN repeat an id — last type wins, like the dict overwrite —
+    # and the ordered dedup keeps labels aligned with the
+    # chem_meshes × dis_meshes pair order the scorer reconstructs)
+    types: dict[str, str] = {}
+    ordered_ids: list[str] = []
+    for e in entities:
+        if e["mesh_id"] not in types:
+            ordered_ids.append(e["mesh_id"])
+        types[e["mesh_id"]] = e["type"]
+    chem_all = [m for m in ordered_ids if types[m] == "Chemical"]
+    dis_all = [m for m in ordered_ids if types[m] == "Disease"]
     gold = set(gold_pairs)
     chem_meshes: list[str] = []
     dis_meshes: list[str] = []

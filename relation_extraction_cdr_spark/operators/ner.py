@@ -94,7 +94,7 @@ NER_SCORED_SCHEMA = "url string, span_idx int, label int, pred int, margin doubl
 
 def score_types(
     ner_feats: DataFrame, config=None, seed: int = 0, head_seed: int = 1,
-    batch_size: int = 8,
+    batch_size: int = 8, npz_path: str | None = None,
 ) -> DataFrame:
     """NER token-classification forward (SURVEY §2.9 M2 variant;
     reference electra_model.py:767-829): encoder once per padded doc
@@ -102,17 +102,25 @@ def score_types(
     index, dense -> gelu -> out_proj type head.  One output row per
     span: gold label, argmax pred, positive-class margin.
 
-    Weights are seeded per executor ((config, seed) — the .npz plug
-    point applies exactly as in pool_features); parity vs the literal
-    port is pinned by tests/test_electra.py::test_ner_forward_parity."""
+    Encoder weights come from the shared per-executor dispatch
+    (electra.resolve_weights: ``npz_path`` for converted real weights,
+    else (config, seed) — the same plug point as pool_features); the
+    token head has no converted-checkpoint layout, so it stays seeded.
+    Parity vs the literal port is pinned by
+    tests/test_electra.py::test_ner_forward_parity."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from ..scoring.electra import DEFAULT_CONFIG, ElectraWeights, NerHead, ner_forward
+        from ..scoring.electra import (
+            DEFAULT_CONFIG,
+            NerHead,
+            ner_forward,
+            resolve_weights,
+        )
 
         cfg = config or DEFAULT_CONFIG
-        w = ElectraWeights.seeded(cfg, seed)
+        w = resolve_weights(cfg, seed, npz_path)
         head = NerHead.seeded(cfg, head_seed)
         cols = ["url", "span_idx", "label", "pred", "margin"]
         for pdf in batches:
@@ -149,21 +157,31 @@ def macro_report(scored: DataFrame) -> DataFrame:
     integer PPM (exact DECIMAL division, engine-portable) + support,
     plus a 'macro' row averaging the two classes' PPM values.  One
     dimension-bounded groupBy; no python."""
+    # each SUM is coalesced to 0 so an empty scored frame (a corpus
+    # slice with no detectable mentions) reports all-zero PPMs and
+    # supports, not NULLs (SUM over zero rows is NULL in ANSI SQL)
     per = (
         scored.groupBy()
         .agg(
             *[
-                F.sum(
-                    ((F.col("pred") == c) & (F.col("label") == c)).cast("long")
+                F.coalesce(
+                    F.sum(
+                        ((F.col("pred") == c) & (F.col("label") == c)).cast("long")
+                    ),
+                    F.lit(0),
                 ).alias(f"tp{c}")
                 for c in (0, 1)
             ],
             *[
-                F.sum((F.col("pred") == c).cast("long")).alias(f"pp{c}")
+                F.coalesce(
+                    F.sum((F.col("pred") == c).cast("long")), F.lit(0)
+                ).alias(f"pp{c}")
                 for c in (0, 1)
             ],
             *[
-                F.sum((F.col("label") == c).cast("long")).alias(f"gp{c}")
+                F.coalesce(
+                    F.sum((F.col("label") == c).cast("long")), F.lit(0)
+                ).alias(f"gp{c}")
                 for c in (0, 1)
             ],
         )

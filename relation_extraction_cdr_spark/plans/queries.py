@@ -4293,10 +4293,19 @@ def q87(spark, sf_dir):
     tests/test_electra.py::test_full_sample_forward_parity; the Spark
     twin (distributed == local single-doc kernel) by
     tests/test_electra.py::test_score_fulltext_spark_matches_local_twin.
-    Rows-only: DuckDB cannot run the encoder."""
+    Rows-only: DuckDB cannot run the encoder.
+
+    batch_size=1: each document is padded to its OWN length and its
+    label_length is its OWN pair count, so a document's float32 GEMMs
+    never see another document's shape — the emitted micro-unit logits
+    are bit-deterministic under ANY partitioning / Arrow-chunk layout
+    (batched shapes shift results at the ~1e-5 level, which 1e-6
+    quantization would surface as layout-dependent values)."""
     from ..scoring.scorer import score_fulltext
 
-    scored = score_fulltext(_doc_fulltext(spark, sf_dir), config=_kernel_cfg(), seed=3)
+    scored = score_fulltext(
+        _doc_fulltext(spark, sf_dir), config=_kernel_cfg(), seed=3, batch_size=1
+    )
     return scored.select(
         "url", "chem_mesh", "dis_mesh", "label",
         F.expr("CAST(FLOOR(margin * 1000000 + 0.5) AS BIGINT)").alias("margin_e6"),
@@ -4321,7 +4330,9 @@ def q88(spark, sf_dir):
     feats = ner_features(
         docs_with_mentions(docs, m.select("url", "start", "end", "type"))
     )
-    scored = score_types(feats, config=_kernel_cfg(), seed=3, head_seed=4)
+    scored = score_types(
+        feats, config=_kernel_cfg(), seed=3, head_seed=4, batch_size=1
+    )  # per-doc padding: preds bit-deterministic under any layout (see q87)
     return macro_report(scored)
 
 
@@ -4335,7 +4346,8 @@ def q89(spark, sf_dir):
     from ..scoring.scorer import score_alps_3way
 
     scored = score_alps_3way(
-        _doc_fulltext(spark, sf_dir), config=_kernel_cfg(), seed=3, head_seed=5
+        _doc_fulltext(spark, sf_dir), config=_kernel_cfg(), seed=3, head_seed=5,
+        batch_size=1,  # per-row padding: bit-deterministic layout (see q87)
     )
     return scored.select(
         "url", "kind", "e1", "e2",

@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass
+from functools import lru_cache
 from pathlib import Path
 
 import numpy as np
@@ -172,6 +173,57 @@ class ElectraWeights:
         layout as `.seeded`); np.savez of named arrays."""
         with np.load(path) as z:
             return cls(config, {k: z[k] for k in z.files})
+
+
+@lru_cache(maxsize=8)
+def resolve_weights(
+    config: ElectraConfig = DEFAULT_CONFIG,
+    seed: int = 0,
+    npz_path: str | None = None,
+) -> ElectraWeights:
+    """The single executor-side weight-sourcing dispatch every forward
+    path shares (scorer.score_fulltext / score_alps_3way,
+    ner.score_types, train.pool_features): a real converted checkpoint
+    from ``npz_path`` when given, else deterministic seeded weights.
+    Memoized per process — weights are reconstructed at most once per
+    (config, seed, path), the broadcast-once-per-executor idiom."""
+    if npz_path:
+        return ElectraWeights.load_npz(npz_path, config)
+    return ElectraWeights.seeded(config, seed=seed)
+
+
+def pad_stack(
+    token_ids: list[list[int]],
+    entity_masks: list[list[int]] | None = None,
+    pad_id: int = 0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """The ONE ragged pad+stack every forward path uses (reference
+    sequence_padding.py:18-44 semantics): ids pad = ``pad_id``,
+    attention = 1 on real positions / 0 on pad, entity-mask pad = -1.
+    Returns ([B, T] int64 ids, [B, T] float32 attention, [B, T] int64
+    mask or None).  Vectorized (no per-row python); the equal-length
+    fast path produces bit-identical arrays to the general path."""
+    b = len(token_ids)
+    lens = np.fromiter((len(x) for x in token_ids), np.int64, b)
+    t = int(lens.max()) if b else 0
+    if b and int(lens.min()) == t:
+        ids = np.asarray(token_ids, np.int64).reshape(b, t)
+        att = np.ones((b, t), np.float32)
+        msk = (
+            np.asarray(entity_masks, np.int64).reshape(b, t)
+            if entity_masks is not None
+            else None
+        )
+        return ids, att, msk
+    valid = np.arange(t) < lens[:, None]
+    ids = np.full((b, t), pad_id, np.int64)
+    ids[valid] = np.concatenate([np.asarray(x, np.int64) for x in token_ids])
+    att = valid.astype(np.float32)
+    msk = None
+    if entity_masks is not None:
+        msk = np.full((b, t), -1, np.int64)
+        msk[valid] = np.concatenate([np.asarray(x, np.int64) for x in entity_masks])
+    return ids, att, msk
 
 
 def encoder_forward(
@@ -342,14 +394,8 @@ def full_sample_forward(
     B = len(token_ids)
     if B == 0:
         return np.zeros((0, label_length, 2), np.float32)
-    lens = np.fromiter((len(x) for x in token_ids), np.int64, B)
-    T = int(lens.max())
-    valid = np.arange(T) < lens[:, None]
-    ids = np.full((B, T), pad_id, np.int64)
-    ids[valid] = np.concatenate([np.asarray(x, np.int64) for x in token_ids])
-    att = valid.astype(np.float32)  # (x != pad_id) in the levi trainer
-    msk = np.full((B, T), -1, np.int64)
-    msk[valid] = np.concatenate([np.asarray(x, np.int64) for x in entity_masks])
+    # att = (x != pad_id) in the levi trainer
+    ids, att, msk = pad_stack(token_ids, entity_masks, pad_id)
 
     hidden = encoder_forward(w, ids, att)  # [B, T, H]
     hs = hidden.shape[-1]
@@ -433,12 +479,7 @@ def ner_forward(
     B = len(token_ids)
     if B == 0:
         return []
-    lens = np.fromiter((len(x) for x in token_ids), np.int64, B)
-    T = int(lens.max())
-    valid = np.arange(T) < lens[:, None]
-    ids = np.full((B, T), pad_id, np.int64)
-    ids[valid] = np.concatenate([np.asarray(x, np.int64) for x in token_ids])
-    att = valid.astype(np.float32)
+    ids, att, _ = pad_stack(token_ids, None, pad_id)
     hidden = encoder_forward(w, ids, att)
     # flatten all (doc, span) gathers into ONE head GEMM
     doc_of = np.concatenate(
@@ -508,14 +549,7 @@ def alps_forward(
     n = len(token_ids)
     if n == 0:
         return np.zeros((0, 2), np.float32)
-    lens = np.fromiter((len(x) for x in token_ids), np.int64, n)
-    T = int(lens.max())
-    valid = np.arange(T) < lens[:, None]
-    ids = np.full((n, T), pad_id, np.int64)
-    ids[valid] = np.concatenate([np.asarray(x, np.int64) for x in token_ids])
-    att = valid.astype(np.float32)
-    msk = np.full((n, T), -1, np.int64)
-    msk[valid] = np.concatenate([np.asarray(x, np.int64) for x in entity_masks])
+    ids, att, msk = pad_stack(token_ids, entity_masks, pad_id)
     hidden = encoder_forward(w, ids, att)
     hs = hidden.shape[-1]
     pooled = np.zeros((n, 2 * hs), np.float32)
@@ -558,25 +592,7 @@ def score_candidates(
     for lo in range(0, n, batch_size):
         hi = min(lo + batch_size, n)
         b = hi - lo
-        # vectorized pad+stack — bit-identical arrays to the row-loop
-        # construction (equal-length fast path for pre-truncated input)
-        lens = np.fromiter((len(x) for x in token_ids[lo:hi]), np.int64, b)
-        t = int(lens.max())
-        if int(lens.min()) == t:
-            ids = np.asarray(token_ids[lo:hi], np.int64).reshape(b, t)
-            att = np.ones((b, t), np.float32)
-            msk = np.asarray(entity_masks[lo:hi], np.int64).reshape(b, t)
-        else:
-            valid = np.arange(t) < lens[:, None]
-            ids = np.full((b, t), pad_id, np.int64)
-            ids[valid] = np.concatenate(
-                [np.asarray(x, np.int64) for x in token_ids[lo:hi]]
-            )
-            att = valid.astype(np.float32)
-            msk = np.full((b, t), -1, np.int64)
-            msk[valid] = np.concatenate(
-                [np.asarray(x, np.int64) for x in entity_masks[lo:hi]]
-            )
+        ids, att, msk = pad_stack(token_ids[lo:hi], entity_masks[lo:hi], pad_id)
         hidden = encoder_forward(w, ids, att)
         # vectorized first_token_pool; a row missing EITHER code keeps
         # a fully-zero concat (degenerate row — head still runs)

@@ -185,18 +185,13 @@ def score_pairs(features: DataFrame, backend: str = "stub") -> DataFrame:
     return features.mapInPandas(run, schema=SCORED_SCHEMA)
 
 
-_ELECTRA_WEIGHTS = None
-
-
 def _electra_weights():
     """Executor-global exact-architecture weights (seeded, deterministic
-    — the same lazy-init-once pattern a broadcast ONNX session uses)."""
-    global _ELECTRA_WEIGHTS
-    if _ELECTRA_WEIGHTS is None:
-        from .electra import DEFAULT_CONFIG, ElectraWeights
+    — electra.resolve_weights memoizes per process, the same
+    lazy-init-once pattern a broadcast ONNX session uses)."""
+    from .electra import DEFAULT_CONFIG, resolve_weights
 
-        _ELECTRA_WEIGHTS = ElectraWeights.seeded(DEFAULT_CONFIG, seed=0)
-    return _ELECTRA_WEIGHTS
+    return resolve_weights(DEFAULT_CONFIG, seed=0)
 
 
 FULLSAMPLE_SCHEMA = (
@@ -225,13 +220,9 @@ def score_fulltext(
     (config, seed) or the .npz plug point."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .electra import DEFAULT_CONFIG, ElectraWeights, full_sample_forward
+        from .electra import DEFAULT_CONFIG, full_sample_forward, resolve_weights
 
-        cfg = config or DEFAULT_CONFIG
-        if npz_path is not None:
-            w = ElectraWeights.load_npz(npz_path, cfg)
-        else:
-            w = ElectraWeights.seeded(cfg, seed)
+        w = resolve_weights(config or DEFAULT_CONFIG, seed, npz_path)
         cols = [c.split(" ")[0] for c in FULLSAMPLE_SCHEMA.split(", ")]
         for pdf in batches:
             out = []
@@ -325,6 +316,7 @@ def score_alps_3way(
     seed: int = 0,
     head_seed: int = 2,
     batch_size: int = 8,
+    npz_path: str | None = None,
 ) -> DataFrame:
     """ALPS 3-way tanh-head scoring (reference electra_model.py:273-411)
     over document-level features: per document, one row per exercisable
@@ -343,10 +335,12 @@ def score_alps_3way(
     tests/test_electra.py::test_alps_forward_parity."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .electra import DEFAULT_CONFIG, AlpsHead, ElectraWeights, alps_forward
+        from .electra import DEFAULT_CONFIG, AlpsHead, alps_forward, resolve_weights
 
         cfg = config or DEFAULT_CONFIG
-        w = ElectraWeights.seeded(cfg, seed)
+        # encoder weights via the shared .npz plug point; the ALPS head
+        # has no converted-checkpoint layout, so it stays seeded
+        w = resolve_weights(cfg, seed, npz_path)
         head = AlpsHead.seeded(cfg, head_seed)
         cols = ["url", "kind", "e1", "e2", "margin"]
         for pdf in batches:

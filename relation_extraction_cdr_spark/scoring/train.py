@@ -97,7 +97,6 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from functools import lru_cache
 from typing import Iterator
 
 import numpy as np
@@ -112,6 +111,8 @@ from .electra import (
     _erf,
     encoder_forward,
     gelu,
+    pad_stack,
+    resolve_weights,
 )
 
 # fixed-point scales: feat/activation lane 2^14 (quantum 6e-5 on values
@@ -134,12 +135,11 @@ GRAD_ROW_SCHEMA = "chunk int, g array<long>, loss_q long, n_valid long"
 # --------------------------------------------------------------------------
 
 
-@lru_cache(maxsize=4)
 def _weights_for(config_key: tuple, seed: int, npz_path: str | None) -> ElectraWeights:
-    cfg = ElectraConfig(*config_key)
-    if npz_path:
-        return ElectraWeights.load_npz(npz_path, cfg)
-    return ElectraWeights.seeded(cfg, seed=seed)
+    """Shared weight-sourcing dispatch (electra.resolve_weights, which
+    memoizes per process) keyed by the config's field tuple so a plain
+    tuple can cross the UDF closure."""
+    return resolve_weights(ElectraConfig(*config_key), seed, npz_path)
 
 
 def _config_key(cfg: ElectraConfig) -> tuple:
@@ -206,26 +206,9 @@ def pool_features(
             for lo in range(0, n, batch_size):
                 hi = min(lo + batch_size, n)
                 b = hi - lo
-                # vectorized pad+stack (reference sequence_padding.py
-                # semantics, no per-row python): bit-identical arrays
-                # to the row-loop construction
-                lens = np.fromiter((len(x) for x in toks[lo:hi]), np.int64, b)
-                t = int(lens.max())
-                if int(lens.min()) == t:  # equal-length fast path
-                    ids = np.asarray(toks[lo:hi], np.int64).reshape(b, t)
-                    att = np.ones((b, t), np.float32)
-                    mrows = np.asarray(msks[lo:hi], np.int64).reshape(b, t)
-                else:
-                    valid = np.arange(t) < lens[:, None]
-                    ids = np.full((b, t), pad_id, np.int64)
-                    ids[valid] = np.concatenate(
-                        [np.asarray(x, np.int64) for x in toks[lo:hi]]
-                    )
-                    att = valid.astype(np.float32)
-                    mrows = np.full((b, t), -1, np.int64)
-                    mrows[valid] = np.concatenate(
-                        [np.asarray(x, np.int64) for x in msks[lo:hi]]
-                    )
+                # shared pad+stack (reference sequence_padding.py
+                # semantics; electra.pad_stack, no per-row python)
+                ids, att, mrows = pad_stack(toks[lo:hi], msks[lo:hi], pad_id)
                 hidden = encoder_forward(w, ids, att)
                 # vectorized span pooling (variants of electra.py's
                 # first_token_pool / run_counting_mean_pool /

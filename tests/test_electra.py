@@ -367,6 +367,19 @@ def test_score_fulltext_spark_matches_local_twin(spark, fixtures, mesh):
         assert row["label"] == lab
         assert abs(row["margin"] - margin) < 5e-5, (row["url"], row["chem_mesh"])
 
+    # batch_size=1 (what q87 runs): per-doc padding makes the margins
+    # BIT-EQUAL to the single-doc kernel under any partition layout —
+    # the determinism contract the gate's micro-unit quantization needs
+    for parts in (2, 5):
+        exact = score_fulltext(
+            ft.repartition(parts), config=cfg, seed=6, batch_size=1
+        ).collect()
+        assert len(exact) == len(expect)
+        for row in exact:
+            lab, margin = expect[(row["url"], row["chem_mesh"], row["dis_mesh"])]
+            assert row["label"] == lab
+            assert row["margin"] == margin, (parts, row["url"], row["chem_mesh"])
+
 
 def test_electra_backend_end_to_end(spark, fixtures, mesh):
     """The exact-architecture backend runs distributed end-to-end and

@@ -78,3 +78,34 @@ def test_use_entity_token_false_strips_markers():
     assert E_START_ID not in feat["token_ids"]
     assert E_END_ID not in feat["token_ids"]
     assert len(feat["token_ids"]) == len(feat["entity_mask"])
+
+
+def test_fulltext_dual_typed_mesh_keeps_labels_aligned():
+    """A mesh_id supplied under BOTH entity types (possible only with
+    caller-supplied entity lists — the reference inventory is a dict)
+    must not desync labels from the chem_meshes × dis_meshes pair order:
+    last type wins (the dict-overwrite rule) and every id appears once."""
+    from relation_extraction_cdr_spark.operators.features import (
+        fulltext_featurize_py,
+    )
+
+    text = "aspirin xeno xeno tremor."
+    ents = [
+        {"mesh_id": "C1", "type": "Chemical",
+         "positions": [{"start": 0, "end": 7}]},
+        {"mesh_id": "X", "type": "Chemical",
+         "positions": [{"start": 8, "end": 12}]},
+        {"mesh_id": "X", "type": "Disease",
+         "positions": [{"start": 13, "end": 17}]},
+        {"mesh_id": "D1", "type": "Disease",
+         "positions": [{"start": 18, "end": 24}]},
+    ]
+    feat = fulltext_featurize_py(text, ents, [("C1", "D1")])
+    assert feat is not None
+    # X collapsed to its LAST type (Disease): one chem, two diseases
+    assert feat["chem_meshes"] == ["C1"]
+    assert feat["dis_meshes"] == ["X", "D1"]
+    # labels align with the cross order the scorer reconstructs
+    assert len(feat["labels"]) == len(feat["chem_meshes"]) * len(feat["dis_meshes"])
+    assert feat["labels"] == [0, 1]  # (C1,X) negative, (C1,D1) gold
+    assert len(feat["chem_codes"]) == 1 and len(feat["dis_codes"]) == 2

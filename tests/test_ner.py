@@ -70,3 +70,21 @@ def test_distributed(spark, fixtures, mesh):
     for r in rows[:10]:
         assert len(r["entity_token_idx"]) == len(r["labels"])
         assert all(l in (0, 1) for l in r["labels"])
+
+
+def test_macro_report_empty_frame_all_zeros(spark):
+    """A corpus slice with no detectable mentions must report zeros,
+    not NULLs (SUM over zero rows is NULL; the report coalesces)."""
+    from relation_extraction_cdr_spark.operators.ner import (
+        NER_SCORED_SCHEMA,
+        macro_report,
+    )
+
+    empty = spark.createDataFrame([], NER_SCORED_SCHEMA)
+    rows = {r["class"]: r for r in macro_report(empty).collect()}
+    assert set(rows) == {"Chemical", "Disease", "macro"}
+    for r in rows.values():
+        assert r["precision_ppm"] == 0
+        assert r["recall_ppm"] == 0
+        assert r["f1_ppm"] == 0
+        assert r["support"] == 0
