@@ -394,6 +394,33 @@ def full_sample_forward(
     B = len(token_ids)
     if B == 0:
         return np.zeros((0, label_length, 2), np.float32)
+    pooled = full_sample_pooled(
+        w, token_ids, entity_masks, chem_code_lists, dis_code_lists,
+        label_length, pad_id,
+    )
+    hs2 = pooled.shape[-1]
+    return pair_head(w, pooled.reshape(B * label_length, hs2)).reshape(
+        B, label_length, 2
+    )
+
+
+def full_sample_pooled(
+    w: ElectraWeights,
+    token_ids: list[list[int]],
+    entity_masks: list[list[int]],
+    chem_code_lists: list[list[int]],
+    dis_code_lists: list[list[int]],
+    label_length: int,
+    pad_id: int = 0,
+) -> np.ndarray:
+    """The pooled pair features of the is_full_sample forward, BEFORE
+    the head: [B, label_length, 2H] concat(all_match chem mean,
+    all_match dis mean) per pair — shared by ``full_sample_forward``
+    (inference) and ``train.pool_fulltext_features`` (the levi trainer's
+    doc-level training granularity)."""
+    B = len(token_ids)
+    if B == 0:
+        return np.zeros((0, label_length, 0), np.float32)
     # att = (x != pad_id) in the levi trainer
     ids, att, msk = pad_stack(token_ids, entity_masks, pad_id)
 
@@ -421,10 +448,7 @@ def full_sample_forward(
         di = np.fromiter((code_idx[d] for d in dcs), np.int64, label_length)
         pooled[b, :, :hs] = means[ci]
         pooled[b, :, hs:] = means[di]
-
-    return pair_head(w, pooled.reshape(B * label_length, 2 * hs)).reshape(
-        B, label_length, 2
-    )
+    return pooled
 
 
 # ---------------------------------------------------------------------------

@@ -252,6 +252,73 @@ def pool_features(
     return features.mapInPandas(run, schema=POOLED_SCHEMA)
 
 
+def pool_fulltext_features(
+    fulltext: DataFrame,
+    config: ElectraConfig = DEFAULT_CONFIG,
+    seed: int = 0,
+    npz_path: str | None = None,
+    batch_size: int = 8,
+) -> DataFrame:
+    """FULLTEXT_SCHEMA rows -> POOLED_SCHEMA rows at the levi trainer's
+    DOCUMENT granularity (reference cdr_trainer_levi.py:316-390
+    ``train_full_sample`` / ``train_sentence(train_with_full_sample=
+    True)``): ONE frozen-encoder pass per document yields the pooled
+    [2H] feature for ALL of its (chem, dis) pairs via the is_full_sample
+    all-match pooling (electra.full_sample_pooled — the exact pooling
+    of electra_model.py:626-641, :711-734).
+
+    Only REAL pairs are emitted.  The reference pads every document's
+    pair list to the batch label width and feeds the pad pairs (label
+    -1) to CrossEntropyLoss(ignore_index=-1), which zeroes their
+    gradient AND excludes them from the loss mean — so dropping them
+    here is gradient- and loss-identical to the reference loop, and
+    the emitted rows feed the same ``train_pair_head`` allreduce
+    unchanged.  label_length per micro-batch is the batch's max real
+    pair count, exactly the levi trainer's batch label width
+    (cdr_trainer_levi.py:341)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .electra import full_sample_pooled
+
+        w = resolve_weights(config, seed, npz_path)
+        cols = ["url", "chem_mesh", "dis_mesh", "label", "feat"]
+        for pdf in batches:
+            out = []
+            for lo in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[lo : lo + batch_size]
+                labels = [list(x) for x in chunk["labels"]]
+                ll = max(len(x) for x in labels)
+                pooled = full_sample_pooled(
+                    w,
+                    [list(x) for x in chunk["token_ids"]],
+                    [list(x) for x in chunk["entity_mask"]],
+                    [list(x) for x in chunk["chem_codes"]],
+                    [list(x) for x in chunk["dis_codes"]],
+                    label_length=ll,
+                )
+                for b, row in enumerate(chunk.itertuples(index=False)):
+                    k = 0
+                    for cm in row.chem_meshes:
+                        for dm in row.dis_meshes:
+                            out.append(
+                                {
+                                    "url": row.url,
+                                    "chem_mesh": cm,
+                                    "dis_mesh": dm,
+                                    "label": int(labels[b][k]),
+                                    "feat": pooled[b, k].astype(np.float32),
+                                }
+                            )
+                            k += 1
+            yield (
+                pd.DataFrame(out, columns=cols)
+                if out
+                else pd.DataFrame(columns=cols)
+            )
+
+    return fulltext.mapInPandas(run, schema=POOLED_SCHEMA)
+
+
 # --------------------------------------------------------------------------
 # head parameters + exact integer gradient kernel
 # --------------------------------------------------------------------------

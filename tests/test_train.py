@@ -439,6 +439,97 @@ class TestPoolFeatures:
                 got = np.array(row["feat"], np.float32)
                 assert np.allclose(got, expect, atol=2e-5), (pooling, row["url"])
 
+    def test_doc_level_pooling_matches_kernel_and_trains(
+        self, spark, fixtures, mesh, tiny_cfg
+    ):
+        """The levi trainer's document granularity
+        (cdr_trainer_levi.py:316-390): pool_fulltext_features ==
+        electra.full_sample_pooled run locally per document (bit-equal
+        at batch_size=1), and a head trained on the doc-level rows is
+        bit-identical across parallelism — the same allreduce contract
+        as the sentence-level path."""
+        import pyspark.sql.functions as F
+
+        from relation_extraction_cdr_spark.operators.features import (
+            fulltext_features,
+        )
+        from relation_extraction_cdr_spark.operators.mentions import detect_mentions
+        from relation_extraction_cdr_spark.plans.pipeline import (
+            _mesh_artifacts,
+            extracted_docs,
+        )
+        from relation_extraction_cdr_spark.scoring.electra import (
+            ElectraWeights,
+            full_sample_pooled,
+        )
+        from relation_extraction_cdr_spark.scoring.train import (
+            pool_fulltext_features,
+        )
+
+        pages, _, gold = fixtures
+        docs = extracted_docs(pages.limit(10))
+        gaz, _, _ = _mesh_artifacts(mesh, "type")
+        m = detect_mentions(docs, gaz)
+        ents = (
+            m.groupBy("url", "mesh_id", "type")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("start", "end"))
+                ).alias("positions")
+            )
+            .groupBy("url")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("mesh_id", "type", "positions"))
+                ).alias("entities")
+            )
+        )
+        g = gold.groupBy("url").agg(
+            F.array_sort(
+                F.collect_list(F.struct("chem_mesh", "dis_mesh"))
+            ).alias("gold_pairs")
+        )
+        ft = fulltext_features(docs.join(ents, "url").join(g, "url", "left"))
+        local = ft.collect()
+        assert local
+
+        w = ElectraWeights.seeded(tiny_cfg, seed=7)
+        expect: dict[tuple, tuple] = {}
+        for r in local:
+            ll = len(r["labels"])
+            pooled = full_sample_pooled(
+                w, [list(r["token_ids"])], [list(r["entity_mask"])],
+                [list(r["chem_codes"])], [list(r["dis_codes"])],
+                label_length=ll,
+            )
+            k = 0
+            for cm in r["chem_meshes"]:
+                for dm in r["dis_meshes"]:
+                    expect[(r["url"], cm, dm)] = (
+                        int(r["labels"][k]), pooled[0, k].copy()
+                    )
+                    k += 1
+
+        got = pool_fulltext_features(
+            ft.repartition(3), config=tiny_cfg, seed=7, batch_size=1
+        ).collect()
+        assert len(got) == len(expect) > 0
+        for row in got:
+            lab, feat = expect[(row["url"], row["chem_mesh"], row["dis_mesh"])]
+            assert row["label"] == lab
+            assert np.array_equal(np.array(row["feat"], np.float32), feat)
+
+        pooled_df = pool_fulltext_features(
+            ft, config=tiny_cfg, seed=7, batch_size=1
+        ).cache()
+        try:
+            r2 = train_pair_head(pooled_df.repartition(2), epochs=2, seed=5)
+            r5 = train_pair_head(pooled_df.repartition(5), epochs=2, seed=5)
+            for (n1, t1), (n2, t2) in zip(r2.params.tensors(), r5.params.tensors()):
+                assert n1 == n2 and np.array_equal(t1, t2)
+        finally:
+            pooled_df.unpersist()
+
     def test_pooling_variant_rejects_unknown(self, spark, tiny_cfg):
         import pytest
 
