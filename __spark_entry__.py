@@ -51,6 +51,7 @@ DRIVER_WINDOW = [
     "q84_triple_provenance",
     "q85_distinctive_terms",
     "q86_head_training",
+    "q91_fulltext_training",
     # tokenizers / sources (unseen)
     "q57_wordpiece",
     "q58_gda_roundtrip",
@@ -91,7 +92,6 @@ DRIVER_WINDOW = [
     "q24_jaccard_neardup",
     "q26_ann_cosine_topk",
     "q15_asof_join",
-    "q01_pricing_summary",
 ]
 
 

@@ -4427,3 +4427,48 @@ def q90(spark, sf_dir):
             ),
         )
     )
+
+
+@register("q91_fulltext_training")  # rows-only: encoder+optimizer kernels not SQL-expressible
+def q91(spark, sf_dir):
+    """Distributed head training at the levi trainer's DOCUMENT
+    granularity (reference cdr_trainer_levi.py:316-390), end-to-end
+    over the corpus: documents -> gazetteer mentions -> fulltext
+    (is_full_sample) features -> ONE frozen-encoder pass per document
+    pooling ALL its (chem, dis) pairs (scoring/train.
+    pool_fulltext_features over electra.full_sample_pooled, the exact
+    pooling of electra_model.py:626-641) -> 3 full-batch epochs of the
+    reference AdamW rule with the integer-exact gradient fold.  Same
+    output contract as q86: (epoch, loss_q, n_valid, params_checksum),
+    bit-deterministic at any parallelism — batch_size=1 pads each doc
+    to its own length so the pooled float32 features are
+    layout-invariant (see q87), and the gradient allreduce is the
+    pytest-proven decimal(38,0) fold.  Scale shape: encoder cost is one
+    pass per document (not per pair), embarrassingly parallel; the
+    training shuffle moves fixed-size gradient chunks only,
+    independent of corpus size.  Rows-only: DuckDB cannot run the
+    encoder."""
+    import numpy as np
+
+    from ..scoring.train import Q_LOSS, pool_fulltext_features, train_pair_head
+
+    pooled = pool_fulltext_features(
+        _doc_fulltext(spark, sf_dir), config=_kernel_cfg(), seed=3, batch_size=1
+    )
+    res = train_pair_head(
+        pooled, epochs=3, optimizer="adamw", ignore_index=None, seed=2,
+        two_e=2 * _kernel_cfg().hidden_size,  # skip the .first() probe job
+    )
+    checksum = int(
+        sum(
+            int(np.rint(p.astype(np.float64) * (1 << 14)).astype(np.int64).sum())
+            for _, p in res.params.tensors()
+        )
+    )
+    rows = [
+        (e, int(round(loss * res.n_valid * Q_LOSS)), res.n_valid, checksum)
+        for e, loss in enumerate(res.losses)
+    ]
+    return spark.createDataFrame(
+        rows, "epoch int, loss_q long, n_valid long, params_checksum long"
+    )
