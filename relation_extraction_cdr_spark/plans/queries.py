@@ -4170,6 +4170,38 @@ def q85(spark, sf_dir):
     )
 
 
+def _epoch_rows(spark, res):
+    """TrainResult -> one bit-deterministic row per epoch: (epoch,
+    loss_q, n_valid, params_checksum) — loss_q the EXACT int64
+    fixed-point loss sum (units 1/Q_LOSS), checksum the int64 sum of
+    the final quantized weights.  With zero valid rows the loss is NaN
+    (every step was skipped); loss_q is reported as 0 so the gate query
+    degrades to informative rows instead of crashing (the sibling
+    kernel queries q87/q89 likewise degrade to empty output)."""
+    import numpy as np
+
+    from ..scoring.train import Q_LOSS
+
+    checksum = int(
+        sum(
+            int(np.rint(p.astype(np.float64) * (1 << 14)).astype(np.int64).sum())
+            for _, p in res.params.tensors()
+        )
+    )
+    rows = [
+        (
+            e,
+            0 if res.n_valid == 0 else int(round(loss * res.n_valid * Q_LOSS)),
+            res.n_valid,
+            checksum,
+        )
+        for e, loss in enumerate(res.losses)
+    ]
+    return spark.createDataFrame(
+        rows, "epoch int, loss_q long, n_valid long, params_checksum long"
+    )
+
+
 @register("q86_head_training")  # rows-only: encoder+optimizer kernels not SQL-expressible
 def q86(spark, sf_dir):
     """Distributed pair-head training end-to-end (SURVEY §2.9 M4/M5,
@@ -4184,15 +4216,13 @@ def q86(spark, sf_dir):
     value parity vs the single-process literal twin is enforced by
     tests/test_train.py.  Spark==oracle value-hash is impossible here
     (DuckDB cannot run the encoder), hence rows-only."""
-    import numpy as np
-
     from .. import datagen
     from ..operators.candidates import candidate_pairs, label_pairs
     from ..operators.evidence import select_evidence
     from ..operators.features import featurize
     from ..operators.mentions import detect_mentions, entity_inventory
     from ..scoring.electra import ElectraConfig
-    from ..scoring.train import Q_LOSS, pool_features, train_pair_head
+    from ..scoring.train import pool_features, train_pair_head
     from .pipeline import _mesh_artifacts, extracted_docs
 
     n_docs = 80 if "0.1" in sf_dir else 40
@@ -4210,19 +4240,7 @@ def q86(spark, sf_dir):
     res = train_pair_head(
         pooled, epochs=3, optimizer="adamw", ignore_index=None, seed=2
     )
-    checksum = int(
-        sum(
-            int(np.rint(p.astype(np.float64) * (1 << 14)).astype(np.int64).sum())
-            for _, p in res.params.tensors()
-        )
-    )
-    rows = [
-        (e, int(round(loss * res.n_valid * Q_LOSS)), res.n_valid, checksum)
-        for e, loss in enumerate(res.losses)
-    ]
-    return spark.createDataFrame(
-        rows, "epoch int, loss_q long, n_valid long, params_checksum long"
-    )
+    return _epoch_rows(spark, res)
 
 
 # ---------------------------------------------------------------------------
@@ -4448,9 +4466,7 @@ def q91(spark, sf_dir):
     training shuffle moves fixed-size gradient chunks only,
     independent of corpus size.  Rows-only: DuckDB cannot run the
     encoder."""
-    import numpy as np
-
-    from ..scoring.train import Q_LOSS, pool_fulltext_features, train_pair_head
+    from ..scoring.train import pool_fulltext_features, train_pair_head
 
     pooled = pool_fulltext_features(
         _doc_fulltext(spark, sf_dir), config=_kernel_cfg(), seed=3, batch_size=1
@@ -4459,16 +4475,4 @@ def q91(spark, sf_dir):
         pooled, epochs=3, optimizer="adamw", ignore_index=None, seed=2,
         two_e=2 * _kernel_cfg().hidden_size,  # skip the .first() probe job
     )
-    checksum = int(
-        sum(
-            int(np.rint(p.astype(np.float64) * (1 << 14)).astype(np.int64).sum())
-            for _, p in res.params.tensors()
-        )
-    )
-    rows = [
-        (e, int(round(loss * res.n_valid * Q_LOSS)), res.n_valid, checksum)
-        for e, loss in enumerate(res.losses)
-    ]
-    return spark.createDataFrame(
-        rows, "epoch int, loss_q long, n_valid long, params_checksum long"
-    )
+    return _epoch_rows(spark, res)

@@ -420,7 +420,7 @@ def full_sample_pooled(
     doc-level training granularity)."""
     B = len(token_ids)
     if B == 0:
-        return np.zeros((0, label_length, 0), np.float32)
+        return np.zeros((0, label_length, 2 * w.config.hidden_size), np.float32)
     # att = (x != pad_id) in the levi trainer
     ids, att, msk = pad_stack(token_ids, entity_masks, pad_id)
 

@@ -277,10 +277,12 @@ def pool_fulltext_features(
     pair count, exactly the levi trainer's batch label width
     (cdr_trainer_levi.py:341)."""
 
+    key = _config_key(config)  # plain tuple crosses the UDF closure
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .electra import full_sample_pooled
 
-        w = resolve_weights(config, seed, npz_path)
+        w = _weights_for(key, seed, npz_path)
         cols = ["url", "chem_mesh", "dis_mesh", "label", "feat"]
         for pdf in batches:
             out = []
