@@ -42,6 +42,7 @@ DRIVER_WINDOW = [
     "q88_ner_type_counts",
     "q89_alps_logits",
     "q90_png_decode",
+    "q92_wav_decode",
     # KG analytics + distributed training (unseen by the gate in r02)
     "q79_cooc_lift",
     "q80_neardup_bfs",
@@ -91,7 +92,6 @@ DRIVER_WINDOW = [
     "q37_multimodal_features",
     "q24_jaccard_neardup",
     "q26_ann_cosine_topk",
-    "q15_asof_join",
 ]
 
 

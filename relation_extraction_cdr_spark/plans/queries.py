@@ -4447,6 +4447,85 @@ def q90(spark, sf_dir):
     )
 
 
+@register(
+    "q92_wav_decode",
+    """
+    WITH ids AS (SELECT CAST(range AS BIGINT) AS id FROM range(0, 16)),
+    dims AS (SELECT id, CAST(800 + (id % 5) * 50 AS INT) AS n,
+                    CAST(1 + id % 2 AS INT) AS ch,
+                    CAST(8000 + (id % 3) * 4000 AS INT) AS rate FROM ids),
+    ts AS (SELECT CAST(range AS BIGINT) AS t FROM range(0, 1000)),
+    cs AS (SELECT UNNEST([0, 1]) AS c),
+    cells AS (
+      SELECT d.id, d.n, d.ch, d.rate, cs.c,
+             SUM((d.id * 37 + ts.t * 11 + cs.c * 53) % 65536 - 32768) AS s
+      FROM dims d
+      JOIN ts ON ts.t < d.n
+      JOIN cs ON cs.c < d.ch
+      GROUP BY 1, 2, 3, 4, 5)
+    SELECT id AS media_id, n AS n_samples, ch AS channels, rate AS sample_rate,
+           CAST(MAX(CASE WHEN c = 0 THEN s END) AS BIGINT) AS sum_c0,
+           CAST(COALESCE(MAX(CASE WHEN c = 1 THEN s END), 0) AS BIGINT) AS sum_c1
+    FROM cells GROUP BY 1, 2, 3, 4
+    """,
+)
+def q92(spark, sf_dir):
+    """REAL WAV (PCM-16) decode, VALUE-ORACLED — the audio counterpart
+    of q90: each clip's samples follow the closed form
+    s(id, t, c) = ((37*id + 11*t + 53*c) mod 65536) - 32768, a mono/
+    stereo mix with per-clip sample rates; the Spark side round-trips
+    them through the pure-python WAV codec (functions/codecs.py —
+    RIFF chunk walk, fmt parse, word-aligned chunk skipping, <i2 PCM
+    reshape all on the hash path), then emits exact per-channel sums
+    plus the DECODED channel count and sample rate; the DuckDB oracle
+    computes the same from the formula.  Any decoder bug — header
+    offsets, channel de-interleave, endianness — breaks the hash.
+    Scale shape: embarrassingly parallel mapInPandas, no shuffle before
+    the dimension-bounded projection."""
+    import pandas as pd  # noqa: F811
+
+    def run(batches):
+        import numpy as np
+
+        from ..functions.codecs import wav_decode, wav_encode
+
+        cols = ["media_id", "n_samples", "channels", "sample_rate",
+                "sum_c0", "sum_c1"]
+        for pdf in batches:
+            out = []
+            for did in pdf["id"]:
+                did = int(did)
+                n, ch = 800 + (did % 5) * 50, 1 + did % 2
+                rate = 8000 + (did % 3) * 4000
+                t = np.arange(n)[:, None]
+                c = np.arange(ch)[None, :]
+                s = (((37 * did + 11 * t + 53 * c) % 65536) - 32768).astype(
+                    np.int16
+                )
+                back, back_rate = wav_decode(wav_encode(s, sample_rate=rate))
+                sums = back.astype(np.int64).sum(axis=0)
+                out.append(
+                    {"media_id": did, "n_samples": int(back.shape[0]),
+                     "channels": int(back.shape[1]),
+                     "sample_rate": int(back_rate),
+                     "sum_c0": int(sums[0]),
+                     "sum_c1": int(sums[1]) if ch == 2 else 0}
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return (
+        spark.range(0, 16)
+        .repartition(8)
+        .mapInPandas(
+            run,
+            schema=(
+                "media_id long, n_samples int, channels int, "
+                "sample_rate int, sum_c0 long, sum_c1 long"
+            ),
+        )
+    )
+
+
 @register("q91_fulltext_training")  # rows-only: encoder+optimizer kernels not SQL-expressible
 def q91(spark, sf_dir):
     """Distributed head training at the levi trainer's DOCUMENT

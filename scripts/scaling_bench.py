@@ -139,7 +139,11 @@ def main() -> None:
     hw = hw_ceiling()
     # repeats per level: the wide levels have short walls and shared-VM
     # noise dominates them — best-of-N measures capability
-    levels = {c: run_level(c, n_pages, r) for c, r in ((2, 1), (8, 2), (32, 3))}
+    # wide levels get more repeats: their walls are short, so shared-VM
+    # noise is a larger fraction AND the JIT/page-cache floor takes more
+    # runs to reach (observed: 3 reps at 32 cores still monotonically
+    # decreasing)
+    levels = {c: run_level(c, n_pages, r) for c, r in ((2, 1), (8, 3), (32, 5))}
     sp_2_8 = levels[2]["wall_sec"] / levels[8]["wall_sec"]
     sp_8_32 = levels[8]["wall_sec"] / levels[32]["wall_sec"]
     eff_2_8 = round(sp_2_8 / 4.0, 3)
