@@ -134,6 +134,63 @@ class TestCodecs:
         with pytest.raises(ValueError):
             png_decode(b"notapng")
 
+    def test_png_roundtrip_property(self):
+        """Any uint8 RGB array survives encode->decode bit-exactly —
+        every width hits a different filter-type cycle alignment and
+        every height exercises the Paeth/up/average predecessors."""
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            png_decode,
+            png_encode,
+        )
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            w=st.integers(1, 40),
+            h=st.integers(1, 24),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def check(w, h, seed):
+            px = np.random.default_rng(seed).integers(
+                0, 256, (h, w, 3), dtype=np.uint8
+            )
+            assert np.array_equal(png_decode(png_encode(px)), px)
+
+        check()
+
+    def test_wav_roundtrip_property(self):
+        """Any int16 mono/stereo clip at any rate survives
+        encode->decode bit-exactly, including odd data-chunk lengths
+        (word-alignment padding on the chunk walk)."""
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            wav_decode,
+            wav_encode,
+        )
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            n=st.integers(1, 2000),
+            ch=st.integers(1, 2),
+            rate=st.sampled_from([8000, 16000, 22050, 44100]),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def check(n, ch, rate, seed):
+            s = np.random.default_rng(seed).integers(
+                -32768, 32768, (n, ch), dtype=np.int16
+            )
+            back, back_rate = wav_decode(wav_encode(s, sample_rate=rate))
+            assert back_rate == rate
+            assert np.array_equal(back, s)
+
+        check()
+
     def test_wav_roundtrip(self):
         import numpy as np
 
