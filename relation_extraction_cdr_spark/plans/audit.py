@@ -136,6 +136,68 @@ def plan_facts(df: DataFrame) -> PlanFacts:
     )
 
 
+def _top_level_exprs(node_line: str) -> list[str]:
+    """Split a Project/Aggregate plan line's LAST top-level ``[...]``
+    (the output expression list) on depth-1 commas."""
+    depth = 0
+    groups: list[tuple[int, int]] = []
+    start = -1
+    for i, ch in enumerate(node_line):
+        if ch in "([":
+            if depth == 0 and ch == "[":
+                start = i + 1
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+            if depth == 0 and ch == "]" and start >= 0:
+                groups.append((start, i))
+                start = -1
+    if not groups:
+        return []
+    s, e = groups[-1]
+    out: list[str] = []
+    depth, seg = 0, s
+    for i in range(s, e):
+        ch = node_line[i]
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(node_line[seg:i].strip())
+            seg = i + 1
+    out.append(node_line[seg:e].strip())
+    return out
+
+
+def unrounded_decimal_quotients(df: DataFrame) -> list[str]:
+    """Named output expressions in the ANALYZED plan that emit a raw
+    DECIMAL quotient — a division whose result is cast to decimal with
+    no round() mediating it.
+
+    This is the exact cross-engine hash hazard behind the round-3
+    q66/q67/q74/q75 gate failures: Spark divides decimals HALF_UP at
+    its derived result scale while DuckDB mediates decimal division
+    through DOUBLE, so the last digit is rounding-mode- and
+    version-dependent.  Queries must emit either exact scaled integers
+    (``x * 1000000 DIV y`` over DECIMAL(38,0)/HUGEINT — the q79
+    lift_ppm pattern) or an explicitly rounded quotient
+    (``round(a / b, k)``), never the raw quotient.
+    """
+    txt = df._jdf.queryExecution().analyzed().toString()
+    bad: list[str] = []
+    for line in txt.splitlines():
+        s = line.strip().lstrip(":+- ")
+        if not s.startswith(("Aggregate ", "Project ")):
+            continue
+        for expr in _top_level_exprs(s):
+            if " AS " not in expr:
+                continue
+            if " / " in expr and "as decimal(" in expr and "round(" not in expr:
+                bad.append(expr)
+    return bad
+
+
 # Per-query expectations. Keys are query names from plans.queries; each
 # value is a dict of PlanFacts-field -> (op, bound) checks applied by
 # `audit_query`. Queries not listed get only the global invariant

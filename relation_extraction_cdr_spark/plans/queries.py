@@ -2847,8 +2847,8 @@ def q65(spark, sf_dir):
     ranked AS (SELECT f.word, c.rnk FROM freq f JOIN cnts c ON c.cnt = f.cnt)
     SELECT d.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_words,
-           CAST(CAST(SUM(r.rnk) AS DECIMAL(38,6)) / COUNT(*)
-                AS DECIMAL(38,6)) AS mean_rank,
+           CAST(CAST(SUM(r.rnk) AS HUGEINT) * 1000000 // COUNT(*)
+                AS BIGINT) AS mean_rank_e6,
            CAST(MAX(r.rnk) AS BIGINT) AS max_rank
     FROM docwords d JOIN ranked r ON r.word = d.word
     GROUP BY d.doc_id
@@ -2859,10 +2859,13 @@ def q66(spark, sf_dir):
     words take the dense rank of their frequency (equal-frequency words
     share a rank), and each document scores its mean and max word rank — rare-vocabulary-heavy
     documents rank high, boilerplate-heavy ones low.  Integer ranks +
-    DECIMAL mean keep the score engine-exact (a -log-frequency LM score
-    would diverge at libm precision).  Scale shape: the rank table is a
-    Zipf-bounded dimension (one groupBy + one window over distinct
-    words) broadcast back to the exploded corpus stream."""
+    an exact scaled-integer mean (rank micro-units via wide-integer
+    multiply + floor DIV, the q79 lift_ppm pattern) keep the score
+    engine-exact — a raw DECIMAL quotient is rounding-mode-dependent
+    across engines, and a -log-frequency LM score would diverge at libm
+    precision.  Scale shape: the rank table is a Zipf-bounded dimension
+    (one groupBy + one window over distinct words) broadcast back to
+    the exploded corpus stream."""
     t = _t(spark, sf_dir, "documents")
     docwords = (
         t["documents"]
@@ -2885,9 +2888,10 @@ def q66(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_words"),
-            (F.sum("rnk").cast("decimal(38,6)") / F.count("*"))
-            .cast("decimal(38,6)")
-            .alias("mean_rank"),
+            F.expr(
+                "CAST(CAST(sum(rnk) AS DECIMAL(38,0)) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("mean_rank_e6"),
             F.max("rnk").cast("long").alias("max_rank"),
         )
     )
@@ -2901,10 +2905,10 @@ def q66(spark, sf_dir):
            CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
                                     w -> w <> ''))) AS BIGINT) AS n_words,
            CAST(COUNT(DISTINCT MD5(text)) AS BIGINT) AS n_unique,
-           CAST(CAST(COUNT(*) - COUNT(DISTINCT MD5(text)) AS DECIMAL(38,6))
-                / COUNT(*) AS DECIMAL(38,6)) AS dup_rate,
-           CAST(CAST(SUM(n_chars) AS DECIMAL(38,6)) / COUNT(*)
-                AS DECIMAL(38,6)) AS mean_chars
+           CAST(CAST(COUNT(*) - COUNT(DISTINCT MD5(text)) AS HUGEINT)
+                * 1000000 // COUNT(*) AS BIGINT) AS dup_rate_ppm,
+           CAST(CAST(SUM(n_chars) AS HUGEINT) * 1000000 // COUNT(*)
+                AS BIGINT) AS mean_chars_e6
     FROM documents
     GROUP BY source, lang
     """,
@@ -2913,8 +2917,11 @@ def q67(spark, sf_dir):
     """The data-mixing table: per (source, lang) corpus accounting —
     document and word mass, exact-duplicate rate (md5 fingerprints),
     mean document length — the statistics a training-mixture designer
-    weights sources by.  One partial-agg groupBy over the corpus; the
-    output is dimension-sized."""
+    weights sources by.  Ratios are emitted as exact scaled integers
+    (ppm / char micro-units via wide-integer multiply + floor DIV, the
+    q79 pattern) so the cross-engine hash never depends on a decimal
+    rounding mode.  One partial-agg groupBy over the corpus; the output
+    is dimension-sized."""
     t = _t(spark, sf_dir, "documents")
     return (
         t["documents"]
@@ -2927,15 +2934,14 @@ def q67(spark, sf_dir):
             .cast("long")
             .alias("n_words"),
             F.countDistinct(F.md5("text")).cast("long").alias("n_unique"),
-            (
-                (F.count("*") - F.countDistinct(F.md5("text"))).cast("decimal(38,6)")
-                / F.count("*")
-            )
-            .cast("decimal(38,6)")
-            .alias("dup_rate"),
-            (F.sum("n_chars").cast("decimal(38,6)") / F.count("*"))
-            .cast("decimal(38,6)")
-            .alias("mean_chars"),
+            F.expr(
+                "CAST(CAST(count(*) - count(DISTINCT md5(text)) AS DECIMAL(38,0))"
+                " * 1000000 DIV count(*) AS BIGINT)"
+            ).alias("dup_rate_ppm"),
+            F.expr(
+                "CAST(CAST(sum(n_chars) AS DECIMAL(38,0)) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("mean_chars_e6"),
         )
     )
 
@@ -3434,8 +3440,8 @@ def q73(spark, sf_dir):
     SELECT e.query_id,
            CAST(COUNT(*) AS INTEGER) AS n_exact,
            CAST(COUNT(i.vec_id) AS INTEGER) AS n_hit,
-           CAST(CAST(COUNT(i.vec_id) AS DECIMAL(38,6)) / COUNT(*)
-                AS DECIMAL(38,6)) AS recall
+           CAST(CAST(COUNT(i.vec_id) AS HUGEINT) * 1000000 // COUNT(*)
+                AS BIGINT) AS recall_ppm
     FROM exact5 e
     LEFT JOIN ivf5 i ON i.query_id = e.query_id AND i.vec_id = e.vec_id
     GROUP BY e.query_id
@@ -3447,7 +3453,9 @@ def q74(spark, sf_dir):
     n_centroids by).  Both arms reuse the exact operators behind q26 and
     q41 (already hash-verified individually), so the intersection is
     engine-deterministic: identical rounded similarities, identical
-    vec_id tie-breaks, DECIMAL recall."""
+    vec_id tie-breaks, recall as exact integer ppm (wide-integer
+    multiply + floor DIV, the q79 pattern — a raw DECIMAL quotient is
+    rounding-mode-dependent across engines)."""
     t = _t(spark, sf_dir, "embeddings")
     emb = t["embeddings"]
     queries = emb.where(F.col("vec_id") < 3)
@@ -3465,9 +3473,10 @@ def q74(spark, sf_dir):
         .agg(
             F.count("*").cast("int").alias("n_exact"),
             F.count("iv").cast("int").alias("n_hit"),
-            (F.count("iv").cast("decimal(38,6)") / F.count("*"))
-            .cast("decimal(38,6)")
-            .alias("recall"),
+            F.expr(
+                "CAST(CAST(count(iv) AS DECIMAL(38,0)) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("recall_ppm"),
         )
     )
 
@@ -3494,8 +3503,8 @@ def q74(spark, sf_dir):
     SELECT doc_id,
            CAST(n_grams AS BIGINT) AS n_grams,
            CAST(n_shared AS BIGINT) AS n_shared,
-           CAST(CAST(n_shared AS DECIMAL(38,6)) / n_grams
-                AS DECIMAL(38,6)) AS shared_frac
+           CAST(CAST(n_shared AS HUGEINT) * 1000000 // n_grams
+                AS BIGINT) AS shared_frac_ppm
     FROM per_doc
     """,
 )
@@ -3544,9 +3553,10 @@ def q75(spark, sf_dir):
         .agg(
             F.count("*").cast("long").alias("n_grams"),
             F.count("sg").cast("long").alias("n_shared"),
-            (F.count("sg").cast("decimal(38,6)") / F.count("*"))
-            .cast("decimal(38,6)")
-            .alias("shared_frac"),
+            F.expr(
+                "CAST(CAST(count(sg) AS DECIMAL(38,0)) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("shared_frac_ppm"),
         )
     )
 

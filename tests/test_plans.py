@@ -12,6 +12,7 @@ from relation_extraction_cdr_spark.plans.audit import (
     EXPECTATIONS,
     audit_query,
     plan_facts,
+    unrounded_decimal_quotients,
 )
 from relation_extraction_cdr_spark.plans.queries import QUERIES
 
@@ -24,14 +25,51 @@ def test_audited_plan(spark, name):
     assert not violations, "; ".join(violations)
 
 
-def test_no_cartesian_anywhere(spark):
-    """Global invariant: no query's plan contains a cartesian product."""
-    bad = {}
+def test_global_plan_invariants(spark):
+    """One pass over every registered query, two global invariants:
+
+    1. no plan contains a cartesian product (the 100 TB scale killer);
+    2. no output expression is a raw DECIMAL quotient (the cross-engine
+       hash killer that made q66/q67/q74/q75 red in round 3 — Spark
+       rounds decimal division HALF_UP, DuckDB mediates through DOUBLE;
+       outputs must be exact scaled integers or rounded quotients).
+    """
+    cartesian, raw_quot = {}, {}
     for name, fn in QUERIES.items():
-        facts = plan_facts(fn(spark, SF_DIR))
+        df = fn(spark, SF_DIR)
+        facts = plan_facts(df)
         if facts.cartesian_products:
-            bad[name] = facts.cartesian_products
-    assert not bad, f"cartesian products in: {bad}"
+            cartesian[name] = facts.cartesian_products
+        quot = unrounded_decimal_quotients(df)
+        if quot:
+            raw_quot[name] = quot
+    assert not cartesian, f"cartesian products in: {cartesian}"
+    assert not raw_quot, f"raw decimal quotients in: {raw_quot}"
+
+
+def test_decimal_quotient_lint_detects(spark):
+    """The lint is not vacuous: it flags the exact round-3 bad pattern
+    (raw decimal division cast to decimal) and passes both sanctioned
+    idioms (scaled-integer DIV; round-then-cast)."""
+    import pyspark.sql.functions as F
+
+    base = spark.range(5).withColumnRenamed("id", "n")
+    bad = base.groupBy().agg(
+        (F.sum("n").cast("decimal(38,6)") / F.count("*"))
+        .cast("decimal(38,6)")
+        .alias("mean_n")
+    )
+    assert unrounded_decimal_quotients(bad), "lint missed the raw quotient"
+    ok_div = base.groupBy().agg(
+        F.expr(
+            "CAST(CAST(sum(n) AS DECIMAL(38,0)) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("mean_n_e6")
+    )
+    assert not unrounded_decimal_quotients(ok_div)
+    ok_round = base.groupBy().agg(
+        F.round(F.sum("n") / F.count("*"), 6).cast("decimal(38,6)").alias("mean_n")
+    )
+    assert not unrounded_decimal_quotients(ok_round)
 
 
 def test_q01_column_pruning(spark):
