@@ -215,10 +215,12 @@ def jaccard_pairs(
     # cutting shuffle volume and comparison cost roughly 3x.  Distinct
     # shingles stay distinct modulo a 2^-64 xxhash64 collision (the
     # standard shingling fingerprint step, e.g. Broder's original
-    # MinHash construction); a collision would overcount one
-    # intersection cell by 1 with probability ~ n_distinct^2 / 2^64 —
-    # negligible at any corpus size this engine targets (10^12 distinct
-    # shingles -> ~3% chance of ONE affected PAIR corpus-wide).
+    # MinHash construction); each colliding shingle pair overcounts one
+    # intersection cell by 1, and the birthday bound puts the EXPECTED
+    # number of colliding pairs at n_distinct^2 / 2^65 — ~0.03 at 10^9
+    # distinct shingles, ~27,000 at 10^12.  Even at the top of that
+    # envelope the error is +1 on ~2.7e-8 of intersection cells, far
+    # below the similarity thresholds any dedup policy keys on.
     shingles = shingles.select(
         F.col(id_col), F.xxhash64("shingle").alias("shingle")
     )

@@ -51,6 +51,7 @@ the parity test also bounds the approximation error.
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass
 from functools import lru_cache
 from pathlib import Path
@@ -175,7 +176,6 @@ class ElectraWeights:
             return cls(config, {k: z[k] for k in z.files})
 
 
-@lru_cache(maxsize=8)
 def resolve_weights(
     config: ElectraConfig = DEFAULT_CONFIG,
     seed: int = 0,
@@ -186,7 +186,26 @@ def resolve_weights(
     ner.score_types, train.pool_features): a real converted checkpoint
     from ``npz_path`` when given, else deterministic seeded weights.
     Memoized per process — weights are reconstructed at most once per
-    (config, seed, path), the broadcast-once-per-executor idiom."""
+    (config, seed, path, file fingerprint), the broadcast-once-per-
+    executor idiom.  The fingerprint (mtime_ns + size) keys the cache
+    so a long-lived executor that rescans after the checkpoint at
+    ``npz_path`` is overwritten in place (save_checkpoint writing a new
+    best between training rounds) reloads instead of serving stale
+    weights."""
+    fingerprint = None
+    if npz_path:
+        st = os.stat(npz_path)
+        fingerprint = (st.st_mtime_ns, st.st_size)
+    return _resolve_weights_cached(config, seed, npz_path, fingerprint)
+
+
+@lru_cache(maxsize=8)
+def _resolve_weights_cached(
+    config: ElectraConfig,
+    seed: int,
+    npz_path: str | None,
+    _fingerprint: tuple[int, int] | None,
+) -> ElectraWeights:
     if npz_path:
         return ElectraWeights.load_npz(npz_path, config)
     return ElectraWeights.seeded(config, seed=seed)

@@ -405,3 +405,35 @@ def test_electra_backend_end_to_end(spark, fixtures, mesh):
         if prob_real != prob_stub:
             moved += 1
     assert moved > 0  # the forward actually ran and contributed
+
+
+def test_resolve_weights_rescans_overwritten_npz(tmp_path):
+    """In-place checkpoint overwrite must not serve stale weights: the
+    memo key includes the file fingerprint (mtime_ns + size), so a
+    long-lived process that calls resolve_weights again after
+    save_checkpoint rewrote the same path sees the NEW weights."""
+    import numpy as np
+
+    from relation_extraction_cdr_spark.scoring.electra import (
+        DEFAULT_CONFIG,
+        ElectraWeights,
+        resolve_weights,
+    )
+
+    path = tmp_path / "best.npz"
+    w1 = ElectraWeights.seeded(DEFAULT_CONFIG, seed=1)
+    np.savez(path, **w1.p)
+    first = resolve_weights(DEFAULT_CONFIG, 0, str(path))
+    # overwrite in place with different weights (bump mtime explicitly:
+    # coarse-mtime filesystems could otherwise alias the two writes)
+    w2 = ElectraWeights.seeded(DEFAULT_CONFIG, seed=2)
+    np.savez(path, **w2.p)
+    st = path.stat()
+    import os as _os
+
+    _os.utime(path, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    second = resolve_weights(DEFAULT_CONFIG, 0, str(path))
+    key = "head.dense.w"
+    assert np.array_equal(first.p[key], w1.p[key])
+    assert np.array_equal(second.p[key], w2.p[key])
+    assert not np.array_equal(first.p[key], second.p[key])
