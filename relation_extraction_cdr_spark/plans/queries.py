@@ -4565,3 +4565,148 @@ def q91(spark, sf_dir):
         two_e=2 * _kernel_cfg().hidden_size,  # skip the .first() probe job
     )
     return _epoch_rows(spark, res)
+
+
+@register(
+    "q93_train_serve_lifecycle",
+    # Constant oracle, deliberately: DuckDB cannot run the encoder or
+    # the optimizer, but the WHOLE lifecycle below is bit-deterministic
+    # (pytest-proven partitioning invariance of pooling, training and
+    # the quantized head forward + a seed-pinned corpus of fixed size),
+    # so its outcome is a fixed vector of integers.  Pinning that
+    # vector in SQL turns the full train -> best-F1 checkpoint -> serve
+    # loop into a value-oracled gate row: ANY regression in datagen,
+    # mention detection, featurization, pooling, the AdamW rule, the
+    # checkpoint roundtrip, or serving moves at least one integer and
+    # breaks the hash.  (The sibling training queries q86/q91 stay
+    # rows-only; this row is the lifecycle's golden value.)
+    """
+    SELECT CAST(70 AS BIGINT) AS n_train,
+           CAST(9 AS BIGINT) AS n_dev,
+           CAST(18 AS BIGINT) AS best_epoch,
+           CAST(5 AS BIGINT) AS tp,
+           CAST(0 AS BIGINT) AS fp,
+           CAST(0 AS BIGINT) AS fn,
+           CAST(1000000 AS BIGINT) AS precision_ppm,
+           CAST(1000000 AS BIGINT) AS recall_ppm,
+           CAST(1000000 AS BIGINT) AS f1_ppm
+    """,
+)
+def q93(spark, sf_dir):
+    """The full reference lifecycle as ONE gate row (cdr_trainer.py:
+    214-331 / 441-468: train -> evaluate per epoch -> save on best F1
+    -> serve from the saved checkpoint): seeded synthetic CDR corpus ->
+    mentions -> candidates -> evidence -> features -> frozen-encoder
+    pooling -> deterministic 80/20 url-hash doc split -> 24 full-batch
+    AdamW epochs on the train split with per-epoch dev evaluation and
+    strict-greater best-F1 checkpointing (checkpoint.BestCheckpoint) ->
+    reload the best .npz through the executor npz plug point
+    (pool_features(npz_path=...) re-derives the dev features THROUGH
+    the checkpoint, proving the encoder roundtrips) -> distributed head
+    inference (score_pooled) -> exact integer P/R/F1 in ppm
+    (2*tp*1e6 DIV (2*tp+fp+fn) — the F1 identity keeps it
+    integer-exact).
+
+    Corpus size is PINNED at 40 docs regardless of sf: this row gates
+    the LIFECYCLE, not scale (q86/q91/BENCH/TRAIN.md cover training
+    scale), and pinning makes the oracle constants hold at every sf
+    the driver probes."""
+    import os as _os
+    import tempfile
+
+    from .. import datagen
+    from ..operators.candidates import candidate_pairs, label_pairs
+    from ..operators.evidence import select_evidence
+    from ..operators.features import featurize
+    from ..operators.mentions import detect_mentions, entity_inventory
+    from ..scoring.checkpoint import BestCheckpoint, load_checkpoint, with_head
+    from ..scoring.electra import ElectraConfig, resolve_weights
+    from ..scoring.train import (
+        HeadParams,
+        pool_features,
+        score_pooled,
+        train_pair_head,
+    )
+    from .pipeline import _mesh_artifacts, extracted_docs
+
+    pages, _gm, gold = datagen.gen_fixture_dfs(spark, 40)
+    docs = extracted_docs(pages)
+    gaz, _gd, _mw = _mesh_artifacts(datagen.mesh_df(spark), "type")
+    inv = entity_inventory(detect_mentions(docs, gaz))
+    pairs = label_pairs(candidate_pairs(inv), gold)
+    feats = featurize(select_evidence(pairs.join(docs, "url")))
+    cfg = ElectraConfig(
+        vocab_size=30524, embedding_size=32, hidden_size=32,
+        num_hidden_layers=2, num_attention_heads=2, intermediate_size=64,
+    )
+    pooled = pool_features(feats, config=cfg, seed=9)
+    is_dev = F.abs(F.xxhash64("url")) % 5 == F.lit(0)
+    train_pooled = pooled.where(~is_dev)
+    # the dev split is dimension-sized (1/5 of a pinned 40-doc corpus),
+    # so the per-epoch evaluate loop runs driver-side on the collected
+    # matrix through the SAME quantized kernel serving uses
+    # (head_predict) — one Spark pass to pool it, zero per-epoch jobs;
+    # the FINAL metrics still come from distributed serving below
+    import numpy as np
+
+    from ..scoring.train import head_predict
+
+    dev_rows = pooled.where(is_dev).collect()
+    n_dev = len(dev_rows)
+    dev_feat = np.stack([r["feat"] for r in dev_rows]).astype(np.float32)
+    dev_label = np.array([r["label"] for r in dev_rows])
+
+    def dev_metrics(hp) -> dict:
+        pred = head_predict(dev_feat, hp)
+        tp = int(((pred == 1) & (dev_label == 1)).sum())
+        fp = int(((pred == 1) & (dev_label == 0)).sum())
+        fn = int(((pred == 0) & (dev_label == 1)).sum())
+        denom = 2 * tp + fp + fn
+        return {"f1-score": (2 * tp / denom) if denom else 0.0}
+
+    ckpt = _os.path.join(tempfile.mkdtemp(prefix="q93_ckpt_"), "best.npz")
+    base = resolve_weights(cfg, seed=9)
+    best = BestCheckpoint(ckpt)
+
+    # lr 5e-3 (10x the reference default, same AdamW rule): the frozen
+    # random-seeded encoder gives weaker features than a pretrained one,
+    # so the reference lr needs ~130 full-batch epochs to converge here;
+    # 5e-3 reaches the dev-F1 plateau inside 24 epochs, keeping the
+    # gate query's job count bounded
+    res = train_pair_head(
+        pooled=train_pooled, epochs=24, optimizer="adamw", ignore_index=None,
+        seed=2, two_e=2 * cfg.hidden_size, lr=5e-3,
+        on_epoch=lambda ep, hp: best.update(ep, dev_metrics(hp), with_head(base, hp)),
+    )
+    n_train = res.n_valid
+
+    # serve strictly FROM the checkpoint: dev features re-pooled through
+    # the npz plug point, head taken from the reloaded weights
+    served = pool_features(feats, config=cfg, npz_path=ckpt).where(is_dev)
+    hp_best = HeadParams.from_weights(load_checkpoint(ckpt, cfg))
+    return (
+        score_pooled(served, hp_best)
+        .agg(
+            F.sum(((F.col("pred") == 1) & (F.col("label") == 1)).cast("long")).alias("tp"),
+            F.sum(((F.col("pred") == 1) & (F.col("label") == 0)).cast("long")).alias("fp"),
+            F.sum(((F.col("pred") == 0) & (F.col("label") == 1)).cast("long")).alias("fn"),
+        )
+        .select(
+            F.lit(n_train).cast("long").alias("n_train"),
+            F.lit(n_dev).cast("long").alias("n_dev"),
+            F.lit(best.best_epoch).cast("long").alias("best_epoch"),
+            F.col("tp"),
+            F.col("fp"),
+            F.col("fn"),
+            F.expr(
+                "CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 DIV (tp + fp) AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 DIV (tp + fn) AS BIGINT)"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CAST(CAST(2 * tp AS DECIMAL(38,0)) * 1000000"
+                " DIV (2 * tp + fp + fn) AS BIGINT)"
+            ).alias("f1_ppm"),
+        )
+    )

@@ -78,6 +78,19 @@ def transfer_encoder_weights(
     return ElectraWeights(dst.config, merged)
 
 
+def with_head(base: ElectraWeights, hp) -> ElectraWeights:
+    """Inverse of train.HeadParams.from_weights: a full checkpointable
+    weight set = ``base``'s (frozen) encoder + the TRAINED pair head —
+    what the reference persists after a training run (encoder +
+    classifier in one ``save_pretrained`` state dict)."""
+    merged = {k: v.copy() for k, v in base.p.items()}
+    merged["head.dense.w"] = hp.w1.copy()
+    merged["head.dense.b"] = hp.b1.copy()
+    merged["head.out.w"] = hp.w2.copy()
+    merged["head.out.b"] = hp.b2.copy()
+    return ElectraWeights(base.config, merged)
+
+
 def save_checkpoint(w: ElectraWeights, path: str | Path) -> None:
     """S12: persist named arrays (the ``save_pretrained`` analog;
     reference cdr_trainer.py:467).  Round-trips bit-for-bit through

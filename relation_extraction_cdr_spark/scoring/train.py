@@ -372,6 +372,54 @@ def _gelu_prime(x: np.ndarray) -> np.ndarray:
     return big_phi + x * phi
 
 
+def _head_forward_quant(
+    feat: np.ndarray, hp: HeadParams
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """The quantized pair-head forward shared by training and serving:
+    every cross-element reduction is an int64 matmul over quantized
+    operands (exact, partitioning-invariant); only per-element math is
+    float64.  Returns (feat_q, w2_q, z1, a_q, z2)."""
+    w1_q = np.rint(hp.w1.astype(np.float64) * Q_W).astype(np.int64)
+    w2_q = np.rint(hp.w2.astype(np.float64) * Q_W).astype(np.int64)
+    feat_q = np.rint(feat.astype(np.float64) * Q_FEAT).astype(np.int64)
+    z1 = (feat_q @ w1_q) / (float(Q_FEAT) * Q_W) + hp.b1.astype(np.float64)
+    a = gelu(z1)
+    a_q = np.rint(a * Q_FEAT).astype(np.int64)
+    z2 = (a_q @ w2_q) / (float(Q_FEAT) * Q_W) + hp.b2.astype(np.float64)
+    return feat_q, w2_q, z1, a_q, z2
+
+
+def head_predict(feat: np.ndarray, hp: HeadParams) -> np.ndarray:
+    """Serving-side class decision for pooled pair features: argmax of
+    the SAME quantized forward training sees (no train/serve kernel
+    skew; ties break to the lower class index, np.argmax semantics —
+    matching torch.max over identical logits)."""
+    if len(feat) == 0:
+        return np.zeros(0, np.int32)
+    *_, z2 = _head_forward_quant(feat, hp)
+    return z2.argmax(axis=1).astype(np.int32)
+
+
+def score_pooled(pooled: DataFrame, hp: HeadParams) -> DataFrame:
+    """Distributed head inference over POOLED_SCHEMA rows (the M6 eval
+    loop at pair-head granularity): adds an int ``pred`` column.  The
+    head is tiny (two_e^2 floats), so it crosses the UDF closure
+    directly — the broadcast-small-model idiom; the forward is the
+    exact quantized kernel, bit-identical at any partitioning."""
+    w1, b1, w2, b2 = hp.w1.copy(), hp.b1.copy(), hp.w2.copy(), hp.b2.copy()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        h = HeadParams(w1, b1, w2, b2)
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf.assign(pred=np.zeros(0, np.int32))
+                continue
+            feat = np.stack(pdf["feat"].to_numpy()).astype(np.float32)
+            yield pdf.assign(pred=head_predict(feat, h))
+
+    return pooled.mapInPandas(run, schema=POOLED_SCHEMA + ", pred int")
+
+
 def head_grad_ints(
     feat: np.ndarray, labels: np.ndarray, hp: HeadParams, ignore_index: int | None
 ) -> tuple[np.ndarray, int, int]:
@@ -389,14 +437,7 @@ def head_grad_ints(
     n = len(labels)
     valid = np.ones(n, bool) if ignore_index is None else labels != ignore_index
 
-    w1_q = np.rint(hp.w1.astype(np.float64) * Q_W).astype(np.int64)
-    w2_q = np.rint(hp.w2.astype(np.float64) * Q_W).astype(np.int64)
-    feat_q = np.rint(feat.astype(np.float64) * Q_FEAT).astype(np.int64)
-
-    z1 = (feat_q @ w1_q) / (float(Q_FEAT) * Q_W) + hp.b1.astype(np.float64)
-    a = gelu(z1)
-    a_q = np.rint(a * Q_FEAT).astype(np.int64)
-    z2 = (a_q @ w2_q) / (float(Q_FEAT) * Q_W) + hp.b2.astype(np.float64)
+    feat_q, w2_q, z1, a_q, z2 = _head_forward_quant(feat, hp)
 
     m = z2.max(axis=1, keepdims=True)
     ez = np.exp(z2 - m)
@@ -652,6 +693,8 @@ def train_pair_head(
     ignore_index: int | None = 0,
     seed: int = 0,
     persist: bool = True,
+    on_epoch=None,
+    lr: float | None = None,
 ) -> TrainResult:
     """Full-batch data-parallel training of the pair head.
 
@@ -664,6 +707,11 @@ def train_pair_head(
     which equals the negative label — cdr_trainer.py:91); pass None for
     standard 2-class CE.  If an epoch has zero valid rows the step is
     skipped (guard; torch would propagate NaN).
+
+    ``on_epoch(epoch_idx, hp)``, when given, is called after every
+    epoch with the CURRENT weights — the reference's per-epoch
+    evaluate-and-maybe-checkpoint hook (cdr_trainer.py:441-468); wire
+    it to checkpoint.BestCheckpoint for best-F1 tracking.
     """
     if init is None:
         if two_e is None:
@@ -671,7 +719,10 @@ def train_pair_head(
         hp = HeadParams.seeded(two_e, seed=seed)
     else:
         hp = init.copy()
-    opt = AdamWRef() if optimizer == "adamw" else BertAdamRef()
+    # lr overrides the reference default (5e-4) when a caller needs a
+    # different schedule point; the update RULE itself never changes
+    opt_cls = AdamWRef if optimizer == "adamw" else BertAdamRef
+    opt = opt_cls() if lr is None else opt_cls(lr=lr)
     if persist:
         pooled = pooled.persist()
         pooled.count()
@@ -680,18 +731,22 @@ def train_pair_head(
     steps = 0
     scale = float(Q_FEAT) * float(Q_GRAD)
     try:
-        for _ in range(epochs):
+        for epoch in range(epochs):
             rows = head_grad_rows(pooled, hp, ignore_index)
             flat_q, loss_q, n_valid = aggregate_grads(rows, hp.flat_size())
             n_valid_last = n_valid
             if n_valid == 0:
                 losses.append(float("nan"))
+                if on_epoch is not None:
+                    on_epoch(epoch, hp)
                 continue
             # reduction='mean' over non-ignored rows (torch CE default)
             grads = _unflatten(hp, (flat_q / scale / n_valid).astype(np.float32))
             opt.step(hp, grads)
             steps += 1
             losses.append(loss_q / Q_LOSS / n_valid)
+            if on_epoch is not None:
+                on_epoch(epoch, hp)
     finally:
         if persist:
             pooled.unpersist()
@@ -706,12 +761,14 @@ def train_pair_head_local(
     init: HeadParams | None = None,
     ignore_index: int | None = 0,
     seed: int = 0,
+    lr: float | None = None,
 ) -> TrainResult:
     """Single-process literal twin of train_pair_head: the same
     quantized kernel on the whole array at once, the same update rules.
     The pytest parity oracle — Spark must match this bit-for-bit."""
     hp = HeadParams.seeded(feat.shape[1], seed=seed) if init is None else init.copy()
-    opt = AdamWRef() if optimizer == "adamw" else BertAdamRef()
+    opt_cls = AdamWRef if optimizer == "adamw" else BertAdamRef
+    opt = opt_cls() if lr is None else opt_cls(lr=lr)
     losses: list[float] = []
     steps = 0
     n_valid_last = 0

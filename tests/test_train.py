@@ -583,3 +583,110 @@ class TestPoolFeatures:
             assert res1.losses == res2.losses
         finally:
             pooled.unpersist()
+
+
+class TestLifecycle:
+    """train -> per-epoch evaluate -> best-F1 checkpoint -> serve from
+    the reloaded npz (the q93 gate's machinery, in isolation)."""
+
+    def test_with_head_roundtrips_and_keeps_encoder(self, tmp_path):
+        from relation_extraction_cdr_spark.scoring.checkpoint import (
+            load_checkpoint,
+            save_checkpoint,
+            with_head,
+        )
+        from relation_extraction_cdr_spark.scoring.electra import (
+            DEFAULT_CONFIG,
+            ElectraWeights,
+        )
+
+        base = ElectraWeights.seeded(DEFAULT_CONFIG, seed=4)
+        hp = HeadParams.seeded(2 * DEFAULT_CONFIG.embedding_size, seed=7)
+        w = with_head(base, hp)
+        # encoder untouched, head replaced
+        for k in base.p:
+            if not k.startswith("head."):
+                assert np.array_equal(w.p[k], base.p[k])
+        back = HeadParams.from_weights(w)
+        assert _params_equal(back, hp)
+        # npz roundtrip is bit-exact
+        path = tmp_path / "w.npz"
+        save_checkpoint(w, path)
+        again = HeadParams.from_weights(load_checkpoint(path, DEFAULT_CONFIG))
+        assert _params_equal(again, hp)
+
+    def test_on_epoch_hook_and_best_tracking(self, spark, tmp_path):
+        from relation_extraction_cdr_spark.scoring.checkpoint import (
+            BestCheckpoint,
+            load_checkpoint,
+            with_head,
+        )
+        from relation_extraction_cdr_spark.scoring.electra import (
+            DEFAULT_CONFIG,
+            ElectraWeights,
+        )
+        from relation_extraction_cdr_spark.scoring.train import head_predict
+
+        feat, labels = _synth(n=120, two_e=16)
+        df = _pooled_df(spark, feat, labels, partitions=4)
+        base = ElectraWeights.seeded(
+            DEFAULT_CONFIG, seed=4
+        )  # head shape mismatch vs two_e=16 is irrelevant: with_head replaces it
+        best = BestCheckpoint(tmp_path / "best.npz")
+        seen = []
+
+        def f1(hp):
+            p = head_predict(feat, hp)
+            tp = int(((p == 1) & (labels == 1)).sum())
+            fp = int(((p == 1) & (labels == 0)).sum())
+            fn = int(((p == 0) & (labels == 1)).sum())
+            d = 2 * tp + fp + fn
+            return (2 * tp / d) if d else 0.0
+
+        def hook(ep, hp):
+            seen.append(ep)
+            best.update(ep, {"f1-score": f1(hp)}, with_head(base, hp))
+
+        res = train_pair_head(
+            df, epochs=6, optimizer="adamw", ignore_index=None, seed=3,
+            lr=5e-3, on_epoch=hook,
+        )
+        assert seen == list(range(6))
+        assert best.best_epoch is not None
+        # the checkpointed head reproduces the tracked best F1 exactly
+        hp_best = HeadParams.from_weights(
+            load_checkpoint(best.path, DEFAULT_CONFIG)
+        )
+        assert f1(hp_best) == best.best_results["f1-score"]
+        # and training actually moved the weights
+        assert not _params_equal(hp_best, HeadParams.seeded(16, seed=3)) or res.steps == 0
+
+    def test_score_pooled_matches_head_predict(self, spark):
+        from relation_extraction_cdr_spark.scoring.train import (
+            head_predict,
+            score_pooled,
+        )
+
+        feat, labels = _synth(n=90, two_e=16, seed=5)
+        hp = HeadParams.seeded(16, seed=1)
+        df = _pooled_df(spark, feat, labels, partitions=7)
+        got = {
+            r["url"]: r["pred"] for r in score_pooled(df, hp).collect()
+        }
+        want = head_predict(feat, hp)
+        assert len(got) == len(labels)
+        for i in range(len(labels)):
+            assert got[f"u{i}"] == int(want[i])
+
+    def test_lr_override_parity_with_local_twin(self, spark):
+        feat, labels = _synth(n=100, two_e=16, seed=8)
+        df = _pooled_df(spark, feat, labels, partitions=3)
+        dist = train_pair_head(
+            df, epochs=4, optimizer="adamw", ignore_index=None, seed=6, lr=2e-3
+        )
+        loc = train_pair_head_local(
+            feat, labels, epochs=4, optimizer="adamw", ignore_index=None,
+            seed=6, lr=2e-3,
+        )
+        assert _params_equal(dist.params, loc.params)
+        assert dist.losses == loc.losses
