@@ -616,6 +616,72 @@ def alps_forward(
     return head.apply(pooled)
 
 
+@dataclass
+class ClsHead:
+    """ElectraModelSentenceClassification head (reference
+    electra_model.py:426-428): dense(256, 256) -> GELU -> out_proj(256,
+    2) over the CLS (position-0) hidden state, with dropout(0.1) before
+    the dense and before the out_proj (identity at inference).  256 is
+    hardcoded in the reference (= hidden_size with the runnable small
+    config); here the shape follows hidden_size so any consistent
+    config runs, with the literal 256 at that config — the same rule
+    AlpsHead applies to its hardcoded 512.
+
+    DEAD CODE in the reference, pinned: the class is imported by all
+    three trainers (cdr_trainer.py:7, cdr_trainer_levi.py:7,
+    gda_trainer.py:7-8) but never instantiated by ANY of them — every
+    constructed model is one of ElectraModelClassification /
+    ElectraModelEntitySentenceClassification /
+    ElectraModelEntityTokenClassification (plus the ALPS variant), so
+    no reference entry point reaches this forward.  The math is ported
+    and parity-tested anyway (tests/test_electra.py::
+    test_cls_pool_forward_parity) and the import-only status is pinned
+    mechanically (::test_cls_pool_dead_in_reference), mirroring the J9
+    dead-loop pin in scoring/checkpoint.py."""
+
+    dense_w: np.ndarray
+    dense_b: np.ndarray
+    out_w: np.ndarray
+    out_b: np.ndarray
+
+    @classmethod
+    def seeded(cls, config: ElectraConfig = DEFAULT_CONFIG, seed: int = 0) -> "ClsHead":
+        rng = np.random.default_rng(seed)
+        h, s = config.hidden_size, config.initializer_range
+        return cls(
+            rng.normal(0.0, s, (h, h)).astype(np.float32),
+            np.zeros(h, np.float32),
+            rng.normal(0.0, s, (h, 2)).astype(np.float32),
+            np.zeros(2, np.float32),
+        )
+
+    def apply(self, cls_hidden: np.ndarray) -> np.ndarray:
+        x = cls_hidden @ self.dense_w + self.dense_b
+        x = gelu(x)
+        return x @ self.out_w + self.out_b
+
+
+def cls_pool_forward(
+    w: ElectraWeights,
+    head: ClsHead,
+    token_ids: list[list[int]],
+    pad_id: int = 0,
+) -> np.ndarray:
+    """CLS-pool sentence classification forward (electra_model.py:
+    485-529): embeddings -> encoder over the padded batch, take
+    ``sequence_output[:, 0, :]`` (the [CLS] position), then dropout ->
+    dense -> gelu ("although BERT uses tanh here, it seems Electra
+    authors used gelu here", :528) -> dropout -> out_proj.  Dropouts
+    are identity at inference.  Returns [N, 2] logits.  See ClsHead for
+    the dead-code pin."""
+    n = len(token_ids)
+    if n == 0:
+        return np.zeros((0, 2), np.float32)
+    ids, att, _ = pad_stack(token_ids, None, pad_id)
+    hidden = encoder_forward(w, ids, att)
+    return head.apply(hidden[:, 0, :])
+
+
 def score_candidates(
     w: ElectraWeights,
     token_ids: list[list[int]],

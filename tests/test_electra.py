@@ -437,3 +437,70 @@ def test_resolve_weights_rescans_overwritten_npz(tmp_path):
     assert np.array_equal(first.p[key], w1.p[key])
     assert np.array_equal(second.p[key], w2.p[key])
     assert not np.array_equal(first.p[key], second.p[key])
+
+
+def test_cls_pool_forward_parity():
+    """ClsHead / cls_pool_forward (the reference's dead
+    ElectraModelSentenceClassification, electra_model.py:414-529) match
+    the literal per-example transcription on ragged batches."""
+    import numpy as np
+
+    from relation_extraction_cdr_spark.scoring.electra import (
+        ClsHead,
+        ElectraConfig,
+        ElectraWeights,
+        cls_pool_forward,
+    )
+    from tests.reference_ports.electra_port import cls_pool_forward_one
+
+    cfg = ElectraConfig(
+        vocab_size=30524, embedding_size=16, hidden_size=16,
+        num_hidden_layers=2, num_attention_heads=2, intermediate_size=32,
+    )
+    w = ElectraWeights.seeded(cfg, seed=12)
+    head = ClsHead.seeded(cfg, seed=5)
+    rng = np.random.default_rng(3)
+    token_ids = [
+        [int(x) for x in rng.integers(1, 30000, size=n)] for n in (4, 9, 7, 12)
+    ]
+    got = cls_pool_forward(w, head, token_ids)
+    assert got.shape == (4, 2)
+    for i, ids in enumerate(token_ids):
+        want = cls_pool_forward_one(w, head, ids, [1] * len(ids))
+        np.testing.assert_allclose(got[i], want, rtol=0, atol=2e-5)
+    assert len(cls_pool_forward(w, head, [])) == 0
+
+
+import os as _os  # noqa: E402
+import re as _re  # noqa: E402
+
+import pytest as _pytest  # noqa: E402
+
+
+@_pytest.mark.skipif(
+    not _os.path.isdir("/root/reference"), reason="reference tree absent"
+)
+def test_cls_pool_dead_in_reference():
+    """Mechanical pin of the dead-code reading (the J9-style pin):
+    ElectraModelSentenceClassification is IMPORTED by the trainers but
+    never CONSTRUCTED anywhere in the reference — neither a direct call
+    nor a from_pretrained on the class."""
+    uses = []
+    for root, _dirs, files in _os.walk("/root/reference"):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = _os.path.join(root, fname)
+            with open(path, encoding="utf-8", errors="replace") as fh:
+                src = fh.read()
+            for m in _re.finditer(
+                r"ElectraModelSentenceClassification\s*(\(|\.\s*from_pretrained)", src
+            ):
+                line = src[: m.start()].count("\n") + 1
+                text = src.splitlines()[line - 1].strip()
+                if text.startswith("#"):
+                    continue  # the reference comments out some calls
+                if fname == "electra_model.py" and "class " in text:
+                    continue
+                uses.append(f"{path}:{line}: {text}")
+    assert not uses, f"reference DOES instantiate the CLS model: {uses}"
