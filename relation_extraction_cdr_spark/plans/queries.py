@@ -4323,16 +4323,20 @@ def q87(spark, sf_dir):
     tests/test_electra.py::test_score_fulltext_spark_matches_local_twin.
     Rows-only: DuckDB cannot run the encoder.
 
-    batch_size=1: each document is padded to its OWN length and its
-    label_length is its OWN pair count, so a document's float32 GEMMs
-    never see another document's shape — the emitted micro-unit logits
-    are bit-deterministic under ANY partitioning / Arrow-chunk layout
-    (batched shapes shift results at the ~1e-5 level, which 1e-6
-    quantization would surface as layout-dependent values)."""
+    Batching: EQUAL-LENGTH-GROUPED (scoring/electra.
+    length_grouped_batches) — same-length documents share encoder
+    batches of 8 while pooling and the head run per document at the
+    document's own shapes, so the emitted micro-unit logits are
+    BIT-IDENTICAL to the round-3 one-document-at-a-time values under
+    ANY batch size / partitioning / Arrow-chunk layout (pinned by
+    tests/test_electra.py::test_score_fulltext_batched_bit_identical).
+    Length PADDING would not be safe: it perturbs real-position hidden
+    states at ~5e-7, which the head amplifies past the 1e-6 output
+    quantum (measured: 96% of margins move under pad-to-bucket)."""
     from ..scoring.scorer import score_fulltext
 
     scored = score_fulltext(
-        _doc_fulltext(spark, sf_dir), config=_kernel_cfg(), seed=3, batch_size=1
+        _doc_fulltext(spark, sf_dir), config=_kernel_cfg(), seed=3, batch_size=8
     )
     return scored.select(
         "url", "chem_mesh", "dis_mesh", "label",
@@ -4375,7 +4379,7 @@ def q89(spark, sf_dir):
 
     scored = score_alps_3way(
         _doc_fulltext(spark, sf_dir), config=_kernel_cfg(), seed=3, head_seed=5,
-        batch_size=1,  # per-row padding: bit-deterministic layout (see q87)
+        batch_size=8,  # equal-length-grouped: bit-deterministic (see q87)
     )
     return scored.select(
         "url", "kind", "e1", "e2",

@@ -448,26 +448,67 @@ def full_sample_pooled(
 
     pooled = np.zeros((B, label_length, 2 * hs), np.float32)
     for b in range(B):
-        ccs, dcs = generate_code_pairs(
-            list(chem_code_lists[b]), list(dis_code_lists[b]), label_length
+        pooled[b] = pool_pairs_one(
+            hidden[b], msk[b], chem_code_lists[b], dis_code_lists[b], label_length
         )
-        if len(ccs) != label_length:
-            raise ValueError(
-                f"doc {b}: {len(ccs)} pairs exceed label_length={label_length}"
-            )
-        codes = np.unique(np.asarray(ccs + dcs, np.int64))
-        eq = (msk[b][None, :] == codes[:, None]).astype(np.float32)  # [C, T]
-        counts = eq.sum(axis=1)  # [C]
-        sums = eq @ hidden[b]  # [C, H]
-        means = np.where(
-            counts[:, None] > 0, sums / np.maximum(counts, 1)[:, None], 0.0
-        ).astype(np.float32)
-        code_idx = {int(c): j for j, c in enumerate(codes)}
-        ci = np.fromiter((code_idx[c] for c in ccs), np.int64, label_length)
-        di = np.fromiter((code_idx[d] for d in dcs), np.int64, label_length)
-        pooled[b, :, :hs] = means[ci]
-        pooled[b, :, hs:] = means[di]
     return pooled
+
+
+def pool_pairs_one(
+    hidden_b: np.ndarray,
+    msk_b: np.ndarray,
+    chem_codes: list[int],
+    dis_codes: list[int],
+    label_length: int,
+) -> np.ndarray:
+    """One document's is_full_sample pair pooling ([T, H] hidden + [T]
+    mask -> [label_length, 2H] concat of all-match means) — the loop
+    body of ``full_sample_pooled``, shared with the equal-length-grouped
+    scorer path so both compute the pooling with the SAME ops."""
+    hs = hidden_b.shape[-1]
+    ccs, dcs = generate_code_pairs(list(chem_codes), list(dis_codes), label_length)
+    if len(ccs) != label_length:
+        raise ValueError(f"{len(ccs)} pairs exceed label_length={label_length}")
+    codes = np.unique(np.asarray(ccs + dcs, np.int64))
+    eq = (msk_b[None, :] == codes[:, None]).astype(np.float32)  # [C, T]
+    counts = eq.sum(axis=1)  # [C]
+    sums = eq @ hidden_b  # [C, H]
+    means = np.where(
+        counts[:, None] > 0, sums / np.maximum(counts, 1)[:, None], 0.0
+    ).astype(np.float32)
+    code_idx = {int(c): j for j, c in enumerate(codes)}
+    ci = np.fromiter((code_idx[c] for c in ccs), np.int64, label_length)
+    di = np.fromiter((code_idx[d] for d in dcs), np.int64, label_length)
+    out = np.zeros((label_length, 2 * hs), np.float32)
+    out[:, :hs] = means[ci]
+    out[:, hs:] = means[di]
+    return out
+
+
+def length_grouped_batches(lengths: list[int], batch_size: int) -> list[list[int]]:
+    """Deterministic equal-length micro-batching: indices grouped by
+    EXACT sequence length (ascending; first-seen order within a group),
+    each group chunked to at most ``batch_size``.
+
+    This is the batching shape under which the numpy encoder is
+    bit-identical to its one-document-at-a-time result: with no length
+    padding, every GEMM's reduction (K) dimension is unchanged, only
+    the row (M) count grows, and GEMM output rows are independent of
+    sibling-row content — verified empirically and pinned by
+    tests/test_electra.py::test_encoder_equal_length_batching_bit_exact.
+    (Pad-to-bucket batching does NOT have this property: padding the
+    attention GEMMs' K dimension perturbs real-position hidden states
+    at the ~5e-7 level, which the pair head amplifies past the 1e-6
+    output quantum — measured: 96% of q87's micro-unit margins move.)"""
+    groups: dict[int, list[int]] = {}
+    for i, n in enumerate(lengths):
+        groups.setdefault(n, []).append(i)
+    out: list[list[int]] = []
+    for n in sorted(groups):
+        idxs = groups[n]
+        for lo in range(0, len(idxs), batch_size):
+            out.append(idxs[lo : lo + batch_size])
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -592,6 +633,25 @@ def alps_forward(
     n = len(token_ids)
     if n == 0:
         return np.zeros((0, 2), np.float32)
+    return head.apply(
+        alps_pooled(w, token_ids, entity_masks, chem_codes, dis_codes, other_codes, pad_id)
+    )
+
+
+def alps_pooled(
+    w: ElectraWeights,
+    token_ids: list[list[int]],
+    entity_masks: list[list[int]],
+    chem_codes: list[int],
+    dis_codes: list[int],
+    other_codes: list[int],
+    pad_id: int = 0,
+) -> np.ndarray:
+    """The [N, 2H] pooled concat of the ALPS forward BEFORE the tanh
+    head — split out so the equal-length-grouped scorer path can batch
+    the encoder while applying the head per row at the same M=1 GEMM
+    shape the one-row-at-a-time path uses (bit-determinism)."""
+    n = len(token_ids)
     ids, att, msk = pad_stack(token_ids, entity_masks, pad_id)
     hidden = encoder_forward(w, ids, att)
     hs = hidden.shape[-1]
@@ -613,7 +673,7 @@ def alps_forward(
             continue
         pooled[i, :hs] = a
         pooled[i, hs:] = b
-    return head.apply(pooled)
+    return pooled
 
 
 @dataclass

@@ -210,52 +210,78 @@ def score_fulltext(
     """Document-level exact-architecture scoring: FULLTEXT_SCHEMA rows
     (operators/features.fulltext_features) -> one row per REAL pair with
     the is_full_sample logits (electra_model.py:711-734 via
-    scoring/electra.full_sample_forward — ONE encoder pass per document
-    scores ALL its pairs).
+    scoring/electra — ONE encoder pass per document scores ALL its
+    pairs).
 
-    label_length is the micro-batch's max real pair count (the levi
-    trainer uses the batch label width, cdr_trainer_levi.py:341); pad
-    pairs are computed by the kernel, faithfully, then dropped here —
-    only real pairs are emitted.  Weights are lazy per executor from
+    Batching is EQUAL-LENGTH-GROUPED (electra.length_grouped_batches):
+    documents of the same exact token length share encoder batches of
+    up to ``batch_size``, then pooling and the pair head run per
+    document at the document's OWN shapes ([C, T] pooling GEMM,
+    [n_pairs, 2H] head GEMM).  Under this shape discipline the emitted
+    float values are BIT-IDENTICAL to the one-document-at-a-time path
+    at any ``batch_size`` and any partitioning / Arrow-chunk layout
+    (pinned by tests/test_electra.py::
+    test_score_fulltext_batched_bit_identical) — the batch only widens
+    the encoder GEMMs' row dimension, which never changes a row's
+    result; length padding WOULD (see length_grouped_batches).
+    label_length is each document's own real pair count, so no pad
+    pairs are ever computed.  Weights are lazy per executor from
     (config, seed) or the .npz plug point."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .electra import DEFAULT_CONFIG, full_sample_forward, resolve_weights
+        from .electra import (
+            DEFAULT_CONFIG,
+            encoder_forward,
+            length_grouped_batches,
+            pad_stack,
+            pair_head,
+            pool_pairs_one,
+            resolve_weights,
+        )
 
         w = resolve_weights(config or DEFAULT_CONFIG, seed, npz_path)
         cols = [c.split(" ")[0] for c in FULLSAMPLE_SCHEMA.split(", ")]
+        empty = pd.DataFrame(columns=cols)
         for pdf in batches:
-            out = []
-            for lo in range(0, len(pdf), batch_size):
-                chunk = pdf.iloc[lo : lo + batch_size]
-                labels = [list(x) for x in chunk["labels"]]
-                ll = max(len(x) for x in labels)
-                logits = full_sample_forward(
-                    w,
-                    [list(x) for x in chunk["token_ids"]],
-                    [list(x) for x in chunk["entity_mask"]],
-                    [list(x) for x in chunk["chem_codes"]],
-                    [list(x) for x in chunk["dis_codes"]],
-                    label_length=ll,
-                )
-                for b, row in enumerate(chunk.itertuples(index=False)):
-                    cms, dms = list(row.chem_meshes), list(row.dis_meshes)
-                    k = 0
-                    for cm in cms:
-                        for dm in dms:
-                            out.append(
-                                {
-                                    "url": row.url,
-                                    "chem_mesh": cm,
-                                    "dis_mesh": dm,
-                                    "label": int(labels[b][k]),
-                                    "logit_neg": float(logits[b, k, 0]),
-                                    "logit_pos": float(logits[b, k, 1]),
-                                    "margin": float(logits[b, k, 1] - logits[b, k, 0]),
-                                }
-                            )
-                            k += 1
-            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+            if not len(pdf):
+                yield empty
+                continue
+            tids = [list(x) for x in pdf["token_ids"]]
+            ems = [list(x) for x in pdf["entity_mask"]]
+            ccs = [list(x) for x in pdf["chem_codes"]]
+            dcs = [list(x) for x in pdf["dis_codes"]]
+            labels = [np.asarray(x, np.int64) for x in pdf["labels"]]
+            urls = pdf["url"].to_numpy()
+            cms_all = [list(x) for x in pdf["chem_meshes"]]
+            dms_all = [list(x) for x in pdf["dis_meshes"]]
+            frames: list[pd.DataFrame] = []
+            for sel in length_grouped_batches([len(t) for t in tids], batch_size):
+                ids, att, msk = pad_stack([tids[i] for i in sel], [ems[i] for i in sel])
+                hidden = encoder_forward(w, ids, att)
+                for j, i in enumerate(sel):
+                    ll = len(labels[i])
+                    pooled = pool_pairs_one(hidden[j], msk[j], ccs[i], dcs[i], ll)
+                    logits = pair_head(w, pooled)  # [ll, 2]
+                    cms, dms = cms_all[i], dms_all[i]
+                    # vectorized output assembly: pair order matches the
+                    # reference's generate_code_pairs nesting (chem-major)
+                    margins = logits[:, 1] - logits[:, 0]  # float32, as before
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "url": np.repeat(urls[i], ll),
+                                "chem_mesh": np.repeat(
+                                    np.asarray(cms, object), len(dms)
+                                ),
+                                "dis_mesh": np.tile(np.asarray(dms, object), len(cms)),
+                                "label": labels[i],
+                                "logit_neg": logits[:, 0].astype(np.float64),
+                                "logit_pos": logits[:, 1].astype(np.float64),
+                                "margin": margins.astype(np.float64),
+                            }
+                        )
+                    )
+            yield pd.concat(frames, ignore_index=True) if frames else empty
 
     return fulltext.mapInPandas(run, schema=FULLSAMPLE_SCHEMA)
 
@@ -335,7 +361,13 @@ def score_alps_3way(
     tests/test_electra.py::test_alps_forward_parity."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .electra import DEFAULT_CONFIG, AlpsHead, alps_forward, resolve_weights
+        from .electra import (
+            DEFAULT_CONFIG,
+            AlpsHead,
+            alps_pooled,
+            length_grouped_batches,
+            resolve_weights,
+        )
 
         cfg = config or DEFAULT_CONFIG
         # encoder weights via the shared .npz plug point; the ALPS head
@@ -367,10 +399,15 @@ def score_alps_3way(
                          "e1": dms[1], "e2": cms[0]}
                     )
             out = []
-            for lo in range(0, len(rows), batch_size):
-                chunk = rows[lo : lo + batch_size]
-                logits = alps_forward(
-                    w, head,
+            # equal-length-grouped encoder batches + per-row (M=1) head:
+            # bit-identical to the one-row-at-a-time path at any
+            # batch_size / partition layout (see score_fulltext)
+            for sel in length_grouped_batches(
+                [len(x["token_ids"]) for x in rows], batch_size
+            ):
+                chunk = [rows[i] for i in sel]
+                pooled = alps_pooled(
+                    w,
                     [x["token_ids"] for x in chunk],
                     [x["mask"] for x in chunk],
                     [x["cc"] for x in chunk],
@@ -378,10 +415,11 @@ def score_alps_3way(
                     [x["oc"] for x in chunk],
                 )
                 for i, x in enumerate(chunk):
+                    logits = head.apply(pooled[i : i + 1])[0]
                     out.append(
                         {"url": x["url"], "kind": x["kind"], "e1": x["e1"],
                          "e2": x["e2"],
-                         "margin": float(logits[i, 1] - logits[i, 0])}
+                         "margin": float(logits[1] - logits[0])}
                     )
             yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
 

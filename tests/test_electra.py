@@ -504,3 +504,86 @@ def test_cls_pool_dead_in_reference():
                     continue
                 uses.append(f"{path}:{line}: {text}")
     assert not uses, f"reference DOES instantiate the CLS model: {uses}"
+
+
+def test_encoder_equal_length_batching_bit_exact(spark, fixtures, mesh):
+    """The contract behind equal-length-grouped scoring: batching docs
+    of the SAME exact length only widens the encoder GEMMs' row
+    dimension, which never changes a row's result — batch rows are
+    bit-identical to the one-doc-at-a-time encoder.  (Length PADDING
+    does not have this property; see electra.length_grouped_batches.)"""
+    import numpy as np
+
+    from relation_extraction_cdr_spark.scoring.electra import (
+        ElectraConfig,
+        encoder_forward,
+        resolve_weights,
+    )
+
+    cfg = ElectraConfig(
+        vocab_size=30524, embedding_size=48, hidden_size=48,
+        num_hidden_layers=2, num_attention_heads=4, intermediate_size=96,
+        max_position_embeddings=512,
+    )
+    w = resolve_weights(cfg, 3)
+    rng = np.random.default_rng(7)
+    for T in (9, 33, 87, 180):
+        ids = rng.integers(1, 30000, size=(6, T)).astype(np.int64)
+        att = np.ones((6, T), np.float32)
+        batch = encoder_forward(w, ids, att)
+        for b in range(6):
+            solo = encoder_forward(w, ids[b : b + 1], att[b : b + 1])[0]
+            assert (solo == batch[b]).all(), f"T={T} row {b} not bit-identical"
+
+
+def test_score_fulltext_batched_bit_identical(spark, fixtures, mesh):
+    """score_fulltext / score_alps_3way at batch_size>1 emit BIT-IDENTICAL
+    values to batch_size=1 (the round-3 gate mode) under different
+    partitionings — the q87/q89 hash-stability contract for the
+    equal-length-grouped batching path."""
+    from relation_extraction_cdr_spark.plans.pipeline import _mesh_artifacts, extracted_docs
+    from relation_extraction_cdr_spark.operators.features import fulltext_features
+    from relation_extraction_cdr_spark.operators.mentions import detect_mentions
+    from relation_extraction_cdr_spark.scoring.electra import ElectraConfig
+    from relation_extraction_cdr_spark.scoring.scorer import score_alps_3way, score_fulltext
+    import pyspark.sql.functions as F
+
+    pages, _, gold = fixtures
+    docs = extracted_docs(pages)
+    gaz, _gd, _mw = _mesh_artifacts(mesh, "type")
+    m = detect_mentions(docs, gaz)
+    ents = (
+        m.groupBy("url", "mesh_id", "type")
+        .agg(F.array_sort(F.collect_list(F.struct("start", "end"))).alias("positions"))
+        .groupBy("url")
+        .agg(F.collect_list(F.struct("mesh_id", "positions", "type")).alias("entities"))
+    )
+    ft = fulltext_features(
+        docs.join(ents, "url").select("url", "text", "entities")
+    ).persist()
+    cfg = ElectraConfig(
+        vocab_size=30524, embedding_size=32, hidden_size=32,
+        num_hidden_layers=2, num_attention_heads=2, intermediate_size=64,
+    )
+
+    def k87(x):
+        return (x["url"], x["chem_mesh"], x["dis_mesh"])
+
+    ref = {k87(x): (x["logit_neg"], x["logit_pos"], x["margin"])
+           for x in score_fulltext(ft, config=cfg, seed=3, batch_size=1).collect()}
+    assert len(ref) > 5
+    for bs, parts in ((8, None), (16, 7)):
+        src = ft.repartition(parts) if parts else ft
+        got = {k87(x): (x["logit_neg"], x["logit_pos"], x["margin"])
+               for x in score_fulltext(src, config=cfg, seed=3, batch_size=bs).collect()}
+        assert got == ref, f"bs={bs} parts={parts} not bit-identical"
+
+    def k89(x):
+        return (x["url"], x["kind"], x["e1"], x["e2"])
+
+    ref_a = {k89(x): x["margin"]
+             for x in score_alps_3way(ft, config=cfg, seed=3, head_seed=5, batch_size=1).collect()}
+    got_a = {k89(x): x["margin"]
+             for x in score_alps_3way(ft.repartition(5), config=cfg, seed=3, head_seed=5, batch_size=8).collect()}
+    assert got_a == ref_a and len(ref_a) > 5
+    ft.unpersist()
