@@ -54,20 +54,26 @@ def gen_media_df(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
 
 
 def _decode(payload: bytes, kind: str) -> np.ndarray:
-    """Decode dispatch.  REAL pure-python codecs handle PNG images and
-    PCM WAV audio (functions/codecs.py — zlib/struct only, all five PNG
-    filter types); other payloads fall through to the deterministic
-    fake so the synthetic media table keeps working.  Video (and other
-    image/audio containers) remain the documented seam for PIL/ffmpeg.
+    """Decode dispatch.  REAL pure-python codecs handle PNG and baseline
+    JPEG images and PCM WAV audio (functions/codecs.py — zlib/struct
+    only; all five PNG filter types; Annex-K huffman JPEG); other
+    payloads fall through to the deterministic fake so the synthetic
+    media table keeps working.  Video (and the remaining image/audio
+    containers: progressive/subsampled JPEG, palette PNG, ...) remain
+    the documented seam for PIL/ffmpeg.
 
     Real-decode features are 8-dim like the fake's, so FEATURES_SCHEMA
     is container-independent:
-      PNG  -> [w, h, ch, mean_all/255, mean_c0/255 .. mean_c3/255] (absent
-              channels 0)
+      PNG/JPEG -> [w, h, ch, mean_all/255, mean_c0/255 .. mean_c3/255]
+                  (absent channels 0)
       WAV  -> [rate/1e3, n_samples, ch, mean/2^15, rms/2^15, 0, 0, 0]
     """
+    px = None
     if payload[:8] == _codecs.PNG_MAGIC:
         px = _codecs.png_decode(payload)
+    elif payload[:3] == _codecs.JPEG_MAGIC:
+        px = _codecs.jpeg_decode(payload)
+    if px is not None:
         h, w, ch = px.shape
         means = px.reshape(-1, ch).mean(axis=0) / 255.0
         cmeans = [float(means[i]) if i < ch else 0.0 for i in range(4)]

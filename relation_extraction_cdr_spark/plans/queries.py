@@ -4714,3 +4714,87 @@ def q93(spark, sf_dir):
             ).alias("f1_ppm"),
         )
     )
+
+
+@register(
+    "q94_jpeg_decode",
+    """
+    WITH ids AS (SELECT CAST(range AS BIGINT) AS id FROM range(0, 16)),
+    dims AS (SELECT id, CAST(19 + id % 5 AS INT) AS w,
+                    CAST(14 + id % 3 AS INT) AS h FROM ids),
+    xs AS (SELECT CAST(range AS BIGINT) AS x FROM range(0, 24)),
+    ys AS (SELECT CAST(range AS BIGINT) AS y FROM range(0, 17)),
+    cells AS (
+      SELECT d.id, d.w, d.h,
+             SUM(28 + (d.id * 31 + (xs.x // 8) * 7 + (ys.y // 8) * 13) % 173) AS s
+      FROM dims d
+      JOIN xs ON xs.x < d.w
+      JOIN ys ON ys.y < d.h
+      GROUP BY d.id, d.w, d.h)
+    SELECT id AS media_id, w AS width, h AS height,
+           CAST(CASE WHEN id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+           CAST(s AS BIGINT) AS sum_c0,
+           CAST(CASE WHEN id % 2 = 0 THEN 0 ELSE s END AS BIGINT) AS sum_c1,
+           CAST(CASE WHEN id % 2 = 0 THEN 0 ELSE s END AS BIGINT) AS sum_c2
+    FROM cells
+    ORDER BY media_id
+    """,
+)
+def q94(spark, sf_dir):
+    """REAL baseline JPEG decode, VALUE-ORACLED (the q90 pattern for the
+    lossy codec): each image is a grid of flat 8x8 blocks with
+    closed-form value v(bx, by) = 28 + (31*id + 7*bx + 13*by) mod 173 —
+    flat blocks make the lossy pipeline EXACT end to end (forward DCT of
+    a flat block is DC-only; flat-8 quant divides the 8*(v-128) DC
+    exactly; IDCT returns v to within 1e-13, closed by rint), so the
+    decoded per-channel pixel sums equal the formula sums DuckDB
+    computes directly.  The full real bitstream is on the hash path:
+    JFIF markers, canonical Annex K huffman coding, byte stuffing,
+    zigzag, DC prediction, dequant, IDCT, edge-replicated padding crop,
+    and (odd ids) the YCbCr<->RGB transform with neutral chroma.
+    Grey for even ids, 3-component 4:4:4 color for odd ids.  AC-heavy
+    content is covered by pytest roundtrips
+    (tests/test_multimodal.py::test_jpeg_*, hypothesis property);
+    progressive/subsampled inputs remain the documented
+    NotImplementedError seam.  Scale shape: embarrassingly parallel
+    mapInPandas, one dimension-bounded projection."""
+    import pandas as pd  # noqa: F811
+
+    def run(batches):
+        import numpy as np
+
+        from ..functions.codecs import jpeg_decode, jpeg_encode
+
+        cols = ["media_id", "width", "height", "channels",
+                "sum_c0", "sum_c1", "sum_c2"]
+        for pdf in batches:
+            out = []
+            for did in pdf["id"]:
+                did = int(did)
+                w, h = 19 + did % 5, 14 + did % 3
+                bx = (np.arange(w) // 8)[None, :]
+                by = (np.arange(h) // 8)[:, None]
+                v = (28 + (31 * did + 7 * bx + 13 * by) % 173).astype(np.uint8)
+                px = v if did % 2 == 0 else np.repeat(v[:, :, None], 3, axis=2)
+                back = jpeg_decode(jpeg_encode(px))  # the kernel under test
+                ch = back.shape[2]
+                sums = back.reshape(-1, ch).astype(np.int64).sum(axis=0)
+                out.append(
+                    {"media_id": did, "width": w, "height": h, "channels": ch,
+                     "sum_c0": int(sums[0]),
+                     "sum_c1": int(sums[1]) if ch == 3 else 0,
+                     "sum_c2": int(sums[2]) if ch == 3 else 0}
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return (
+        spark.range(0, 16)
+        .repartition(8)
+        .mapInPandas(
+            run,
+            schema=(
+                "media_id long, width int, height int, channels int, "
+                "sum_c0 long, sum_c1 long, sum_c2 long"
+            ),
+        )
+    )

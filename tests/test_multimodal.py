@@ -239,3 +239,162 @@ class TestCodecs:
         f2 = got[2]
         assert f2[0] == 16.0 and f2[1] == 1600.0 and f2[2] == 1.0
         assert abs(f2[3] - 1024 / 32768) < 1e-9
+
+
+class TestJpegCodec:
+    """Baseline JPEG (functions/codecs.py): bitstream-exact coefficient
+    roundtrip, bounded lossy pixel roundtrip, flat-block exactness (the
+    q94 oracle's contract), and the documented seam raises."""
+
+    def test_coefficients_roundtrip_bit_exact(self):
+        """The bitstream layer (canonical Annex-K huffman, zigzag, DC
+        prediction, ZRL/EOB, byte stuffing) is LOSSLESS: the decoder's
+        parsed coefficient blocks equal the encoder's quantized
+        coefficients exactly, grey and color."""
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            _Q_FLAT8,
+            _component_blocks,
+            jpeg_decode_coeffs,
+            jpeg_encode,
+        )
+
+        rng = np.random.default_rng(11)
+        for shape in ((14, 19), (17, 21, 3), (8, 8), (9, 25, 3)):
+            px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            enc = jpeg_encode(px)
+            h, w, blocks, quants = jpeg_decode_coeffs(enc)
+            assert (h, w) == shape[:2]
+            if px.ndim == 2:
+                planes = [px.astype(np.float64)]
+            else:
+                r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+                planes = [
+                    np.clip(np.rint(0.299 * r + 0.587 * g + 0.114 * b), 0, 255),
+                    np.clip(np.rint(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0), 0, 255),
+                    np.clip(np.rint(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0), 0, 255),
+                ]
+            for ci, plane in enumerate(planes):
+                want = _component_blocks(plane, _Q_FLAT8)
+                assert np.array_equal(blocks[ci], want), f"shape={shape} comp={ci}"
+                assert np.array_equal(quants[ci], _Q_FLAT8)
+
+    def test_lossy_roundtrip_bounded(self):
+        """decode(encode(img)) stays within the flat-8 quantization
+        error envelope on dense random content."""
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            jpeg_decode,
+            jpeg_encode,
+        )
+
+        rng = np.random.default_rng(3)
+        grey = rng.integers(0, 256, size=(24, 31), dtype=np.uint8)
+        back = jpeg_decode(jpeg_encode(grey))[:, :, 0]
+        assert int(np.abs(back.astype(int) - grey.astype(int)).max()) <= 32
+        rgb = rng.integers(0, 256, size=(16, 18, 3), dtype=np.uint8)
+        back3 = jpeg_decode(jpeg_encode(rgb))
+        assert back3.shape == rgb.shape
+        assert int(np.abs(back3.astype(int) - rgb.astype(int)).max()) <= 48
+
+    def test_flat_blocks_exact(self):
+        """Flat 8x8 blocks decode EXACTLY (DC-only coefficients divide
+        the flat-8 quant exactly) — grey and neutral-chroma color; this
+        is the closed form q94's DuckDB oracle computes."""
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            jpeg_decode,
+            jpeg_encode,
+        )
+
+        for did in (0, 3, 7):
+            w, h = 19 + did % 5, 14 + did % 3
+            bx = (np.arange(w) // 8)[None, :]
+            by = (np.arange(h) // 8)[:, None]
+            v = (28 + (31 * did + 7 * bx + 13 * by) % 173).astype(np.uint8)
+            assert (jpeg_decode(jpeg_encode(v))[:, :, 0] == v).all()
+            rgb = np.repeat(v[:, :, None], 3, axis=2)
+            assert (jpeg_decode(jpeg_encode(rgb)) == rgb).all()
+
+    def test_jpeg_roundtrip_property(self):
+        """Property sweep: any uint8 image (grey or RGB) encodes to a
+        parseable bitstream whose coefficients roundtrip exactly and
+        whose pixel error is quantization-bounded."""
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            jpeg_decode,
+            jpeg_encode,
+        )
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            w=st.integers(1, 33),
+            h=st.integers(1, 26),
+            color=st.booleans(),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def check(w, h, color, seed):
+            shape = (h, w, 3) if color else (h, w)
+            px = np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
+            back = jpeg_decode(jpeg_encode(px))
+            assert back.shape == (h, w, 3 if color else 1)
+            ref = px if color else px[:, :, None]
+            assert int(np.abs(back.astype(int) - ref.astype(int)).max()) <= 64
+
+        check()
+
+    def test_jpeg_unsupported_raises(self):
+        import struct as _struct
+
+        import numpy as np
+        import pytest
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            jpeg_decode,
+            jpeg_encode,
+        )
+
+        enc = bytearray(jpeg_encode(np.zeros((8, 8), np.uint8)))
+        # SOF0 -> SOF2 (progressive)
+        i = bytes(enc).find(b"\xff\xc0")
+        enc2 = bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2 :])
+        with pytest.raises(NotImplementedError):
+            jpeg_decode(enc2)
+        # inject a DRI marker after SOI
+        dri = b"\xff\xdd" + _struct.pack(">H", 4) + _struct.pack(">H", 4)
+        enc3 = bytes(enc[:2]) + dri + bytes(enc[2:])
+        with pytest.raises(NotImplementedError):
+            jpeg_decode(enc3)
+        with pytest.raises(ValueError):
+            jpeg_decode(b"notajpeg")
+
+    def test_extract_features_real_jpeg(self, spark):
+        """The multimodal decode dispatch routes JPEG payloads through
+        the real codec: width/height/channel features match the source
+        image, via the Spark mapInPandas stage."""
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import jpeg_encode
+        from relation_extraction_cdr_spark.operators.multimodal import extract_features
+
+        v = np.full((16, 24), 100, np.uint8)
+        rows = [
+            (0, "image", bytearray(jpeg_encode(v)), {"width": 24, "height": 16, "duration_ms": 0, "codec": "jpeg"}),
+            (1, "image", bytearray(jpeg_encode(np.repeat(v[:, :, None], 3, axis=2))),
+             {"width": 24, "height": 16, "duration_ms": 0, "codec": "jpeg"}),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "media_id long, kind string, payload binary, "
+            "meta struct<width:int,height:int,duration_ms:int,codec:string>",
+        )
+        got = {r["media_id"]: r["feature"] for r in extract_features(df).collect()}
+        assert got[0][:3] == [24.0, 16.0, 1.0]
+        assert abs(got[0][3] - 100 / 255) < 1e-6  # float32 feature lane
+        assert got[1][:3] == [24.0, 16.0, 3.0]
