@@ -142,9 +142,9 @@ def png_decode(payload: bytes) -> np.ndarray:
             for i in range(stride):
                 a = line[i - ch] if i >= ch else 0
                 line[i] = (int(line[i]) + ((int(a) + int(prev[i])) >> 1)) & 0xFF
-        elif f == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (int(line[i]) + int(line[i - ch])) & 0xFF
+        elif f == 1:  # Sub — per-channel-lane prefix sum mod 256
+            line = line.reshape(-1, ch).cumsum(axis=0, dtype=np.int64)
+            line = (line & 0xFF).astype(np.uint8).reshape(-1)
         elif f == 4:  # Paeth
             for i in range(stride):
                 a = int(line[i - ch]) if i >= ch else 0
