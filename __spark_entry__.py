@@ -29,69 +29,74 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q30_cdr_triples"](spark, "/root/testdata/sf0.001")
 
 
-# The driver's correctness gate checks the FIRST 50 entries of queries()
-# (CORRECTNESS_r02 covered q01-q50 and nothing beyond).  q01-q50 all have
-# green r02 driver rows already, so this window surfaces the queries the
-# gate has never seen: the KG-analytics / tokenizer / curation / training
-# families (q51-q86) and this round's new kernels, topped up with the
-# flagship pipeline queries for continuity.  Everything not listed still
-# runs (appended in registry order) — the order is the only change.
+# The driver's correctness gate checks the FIRST 50 entries of queries().
+# Round-4 curation (VERDICT r3 item 2): (a) the four round-3 red rows,
+# now fixed to exact scaled-integer outputs; (b) every query whose
+# implementation changed this round (q87/q89 equal-length-grouped
+# batching, q37/q90 codec dispatch + PNG Sub vectorization, new q93
+# lifecycle + q94 JPEG); (c) the FULL rotation slice of queries last
+# driver-checked in r02 — two rounds stale — q01-q23, q25, q27, q31-q36,
+# q39, q42-q47, q49-q50 (40 queries), restoring their gate coverage.
+# Displaced q28-q30/q40/q48/q51-q86/q88/q91-q92 coverage rests on their
+# green r03 driver rows (one round old) plus pytest; q86/q91 train via
+# train_pair_head whose round-4 change (on_epoch/lr params, default
+# no-op) is pinned by tests/test_train.py parity, and the trained
+# lifecycle is value-gated in-window via q93.  Everything not listed
+# still runs (appended in registry order).
 DRIVER_WINDOW = [
-    # round-3 kernels (exact-architecture forwards made load-bearing)
-    "q87_fullsample_logits",
-    "q88_ner_type_counts",
-    "q89_alps_logits",
-    "q90_png_decode",
-    "q92_wav_decode",
-    # KG analytics + distributed training (unseen by the gate in r02)
-    "q79_cooc_lift",
-    "q80_neardup_bfs",
-    "q81_triple_diff",
-    "q82_mesh_closure",
-    "q83_entity_canonical",
-    "q84_triple_provenance",
-    "q85_distinctive_terms",
-    "q86_head_training",
-    "q91_fulltext_training",
-    # tokenizers / sources (unseen)
-    "q57_wordpiece",
-    "q58_gda_roundtrip",
-    "q59_gda_pairs",
-    "q60_tacred_spans",
-    "q61_sentencepiece",
-    # curation / dedup / ANN / packing (unseen)
-    "q51_boilerplate_strip",
-    "q52_decontaminate",
-    "q53_time_rollup",
-    "q54_bloom_prefilter",
-    "q55_stratified_sample",
-    "q56_jaccard_lsh_verified",
-    "q62_repetition_signals",
-    "q63_corpus_token_counts",
-    "q64_token_packing",
-    "q65_pagerank",
+    # round-3 red rows, fixed (exact ppm/e6 integer ratios)
     "q66_word_rank_quality",
     "q67_source_mixture",
-    "q68_neardup_triangles",
-    "q69_hll_registers",
-    "q70_countmin_heavy_hitters",
-    "q71_balanced_mixture_sample",
-    "q72_lsh_first_owner",
-    "q73_blame_unique_supplier",
     "q74_ann_recall",
     "q75_crossdoc_passages",
-    "q76_curation_verdicts",
-    "q77_below_avg_quantity",
-    "q78_bpe_pair_stats",
-    # flagship pipeline continuity (r02-green, kept in-window)
-    "q30_cdr_triples",
-    "q28_cdr_mentions",
-    "q29_cdr_candidates",
-    "q40_pipeline_triples",
-    "q48_ner_features",
+    # round-4 new / implementation-changed
+    "q93_train_serve_lifecycle",
+    "q94_jpeg_decode",
+    "q87_fullsample_logits",
+    "q89_alps_logits",
     "q37_multimodal_features",
-    "q24_jaccard_neardup",
-    "q26_ann_cosine_topk",
+    "q90_png_decode",
+    # rotation slice: last driver-checked in r02 (two rounds stale)
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_broadcast_join",
+    "q04_semi_join",
+    "q05_anti_join",
+    "q06_pergroup_cross_join",
+    "q07_window_topk",
+    "q08_dense_rank",
+    "q09_min_by",
+    "q10_topk_global",
+    "q11_union",
+    "q12_symmetric_pair_dedup",
+    "q13_tagged_split",
+    "q14_range_join",
+    "q15_asof_join",
+    "q16_sessionize",
+    "q17_lang_id",
+    "q18_quality",
+    "q19_token_count",
+    "q20_fingerprint",
+    "q21_exact_dedup",
+    "q22_shingles",
+    "q23_minhash",
+    "q25_simhash",
+    "q27_embed_stats",
+    "q31_levi_filter",
+    "q32_srp_buckets",
+    "q33_cdr_adjacency",
+    "q34_hash_split",
+    "q35_cooc_histogram",
+    "q36_embed_neardup",
+    "q39_windowed_counts",
+    "q42_neardup_clusters",
+    "q43_simhash_hamming",
+    "q44_kg_degree",
+    "q45_length_quantiles",
+    "q46_local_supplier_volume",
+    "q47_large_orders",
+    "q49_event_gaps",
+    "q50_rollup_revenue",
 ]
 
 
