@@ -97,10 +97,15 @@ def score_types(
     batch_size: int = 8, npz_path: str | None = None,
 ) -> DataFrame:
     """NER token-classification forward (SURVEY §2.9 M2 variant;
-    reference electra_model.py:767-829): encoder once per padded doc
-    batch, hidden states gathered at each marked span's entity-token
-    index, dense -> gelu -> out_proj type head.  One output row per
-    span: gold label, argmax pred, positive-class margin.
+    reference electra_model.py:767-829): encoder once per EQUAL-LENGTH
+    doc batch (electra.length_grouped_batches — same-length documents
+    share encoder batches of up to ``batch_size``, so pad_stack never
+    pads and the emitted floats are bit-identical to the per-document
+    result at any batch size / partitioning / Arrow-chunk layout, the
+    same shape discipline as scorer.score_fulltext), hidden states
+    gathered at each marked span's entity-token index, dense -> gelu ->
+    out_proj type head.  One output row per span: gold label, argmax
+    pred, positive-class margin.
 
     Encoder weights come from the shared per-executor dispatch
     (electra.resolve_weights: ``npz_path`` for converted real weights,
@@ -115,6 +120,7 @@ def score_types(
         from ..scoring.electra import (
             DEFAULT_CONFIG,
             NerHead,
+            length_grouped_batches,
             ner_forward,
             resolve_weights,
         )
@@ -123,29 +129,37 @@ def score_types(
         w = resolve_weights(cfg, seed, npz_path)
         head = NerHead.seeded(cfg, head_seed)
         cols = ["url", "span_idx", "label", "pred", "margin"]
+        empty = pd.DataFrame(columns=cols)
         for pdf in batches:
-            out = []
-            for lo in range(0, len(pdf), batch_size):
-                chunk = pdf.iloc[lo : lo + batch_size]
+            if not len(pdf):
+                yield empty
+                continue
+            tids = [list(x) for x in pdf["token_ids"]]
+            eidx = [list(x) for x in pdf["entity_token_idx"]]
+            labels = [np.asarray(x, np.int32) for x in pdf["labels"]]
+            urls = pdf["url"].to_numpy()
+            frames: list[pd.DataFrame] = []
+            for sel in length_grouped_batches([len(t) for t in tids], batch_size):
                 logits = ner_forward(
-                    w,
-                    head,
-                    [list(x) for x in chunk["token_ids"]],
-                    [list(x) for x in chunk["entity_token_idx"]],
+                    w, head, [tids[i] for i in sel], [eidx[i] for i in sel]
                 )
-                for b, row in enumerate(chunk.itertuples(index=False)):
-                    for j, lab in enumerate(row.labels):
-                        lg = logits[b][j]
-                        out.append(
+                for j, i in enumerate(sel):
+                    lg = logits[j]  # [n_spans, 2]
+                    n = lg.shape[0]
+                    frames.append(
+                        pd.DataFrame(
                             {
-                                "url": row.url,
-                                "span_idx": j,
-                                "label": int(lab),
-                                "pred": int(np.argmax(lg)),
-                                "margin": float(lg[1] - lg[0]),
+                                "url": np.repeat(urls[i], n),
+                                "span_idx": np.arange(n, dtype=np.int32),
+                                "label": labels[i],
+                                "pred": lg.argmax(axis=1).astype(np.int32),
+                                "margin": (lg[:, 1] - lg[:, 0]).astype(
+                                    np.float64
+                                ),
                             }
                         )
-            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+                    )
+            yield pd.concat(frames, ignore_index=True) if frames else empty
 
     return ner_feats.mapInPandas(run, schema=NER_SCORED_SCHEMA)
 

@@ -20,12 +20,12 @@ Design (and why it scales to 10^12 docs / 1000 executors):
    first-token span pooling (reference electra_model.py:618-624) inside
    ``mapInPandas`` — the expensive O(corpus) stage, embarrassingly
    parallel, executed once and persisted.  Output: one ``[2H]`` float
-   feature row per candidate pair.  Scope note: the bit-invariance
-   guarantee below starts AT these pooled features — pooling runs
-   float32 BLAS GEMMs whose pad widths depend on micro-batch
-   composition, so repartitioning the *features* frame can flip
-   last-ulp feature bits (quantization absorbs ~6e-5); everything
-   downstream of a fixed pooling layout is exactly invariant.
+   feature row per candidate pair.  Pooling batches are EQUAL-LENGTH-
+   GROUPED (electra.length_grouped_batches), so every pooled feature
+   is bit-identical to its batch_size=1 result at any batch size,
+   partitioning, or Arrow-chunk layout — the invariance guarantee
+   below therefore holds END-TO-END from raw features, not merely
+   downstream of a fixed pooling layout.
 2. ``head_grad_rows`` + ``aggregate_grads``: per epoch, head params are
    broadcast (plan literals via closure → task binary), each partition
    computes its gradient contribution and the driver applies the
@@ -111,6 +111,7 @@ from .electra import (
     _erf,
     encoder_forward,
     gelu,
+    length_grouped_batches,
     pad_stack,
     resolve_weights,
 )
@@ -158,8 +159,7 @@ def pool_features(
 
     ``pooling`` selects the reference's span-pooling variant (A3/M3) —
     the head trains identically either way, and every variant keeps the
-    bit-determinism contract (pooling happens before quantization, so
-    the fixed layout scope note below applies to all):
+    bit-determinism contract (see the layout-independence note below):
 
     - "first_token" (default): hidden state at the FIRST position whose
       mask equals the code — the train_sentence entry point
@@ -171,14 +171,23 @@ def pool_features(
       pooler, electra_model.py:626-641, with its dead first-of-run
       branch pinned)
 
-    Runs the frozen encoder once per micro-batch (pad+stack per
-    reference sequence_padding.py:18-44) and the selected span pooling
-    per row; the ``[2H]`` concat(chem, dis) is the pair head's input
-    (reference electra_model.py:671-675).  Rows missing EITHER code in
-    the mask pool to an all-zero concat — the same degenerate-row rule
-    as scoring (score_candidates: ``has = mc.any & md.any``), so a head
-    trained on pooled features sees the identical feature vector at
-    inference (no train/serve skew).
+    Runs the frozen encoder once per EQUAL-LENGTH micro-batch
+    (electra.length_grouped_batches — rows of the same exact token
+    length share an encoder batch, so pad_stack never pads and every
+    GEMM runs at each row's own K/T shape) and the selected span
+    pooling per row; the ``[2H]`` concat(chem, dis) is the pair head's
+    input (reference electra_model.py:671-675).  Under this shape
+    discipline each row's pooled feature is BIT-IDENTICAL to its
+    ``batch_size=1`` result at any batch size, partitioning, or
+    Arrow-chunk layout (the batch only widens the GEMM row dimension;
+    see length_grouped_batches), which makes the ENTIRE training
+    pipeline layout-independent: pooled features exact per row, and
+    everything downstream already reduces in quantized int64 /
+    decimal(38,0).  Rows missing EITHER code in the mask pool to an
+    all-zero concat — the same degenerate-row rule as scoring
+    (score_candidates: ``has = mc.any & md.any``), so a head trained on
+    pooled features sees the identical feature vector at inference (no
+    train/serve skew).
 
     Executor-side weights are reconstructed lazily per process from
     (config, seed) or the .npz plug point — nothing large crosses the
@@ -203,20 +212,25 @@ def pool_features(
             ccs = np.asarray(pdf["chem_code"].tolist(), np.int64)
             dcs = np.asarray(pdf["dis_code"].tolist(), np.int64)
             feats = np.zeros((n, 2 * hs), np.float32)
-            for lo in range(0, n, batch_size):
-                hi = min(lo + batch_size, n)
-                b = hi - lo
+            for sel in length_grouped_batches(
+                [len(t) for t in toks], batch_size
+            ):
+                gi = np.asarray(sel, np.int64)
+                b = len(sel)
                 # shared pad+stack (reference sequence_padding.py
-                # semantics; electra.pad_stack, no per-row python)
-                ids, att, mrows = pad_stack(toks[lo:hi], msks[lo:hi], pad_id)
+                # semantics; electra.pad_stack, no per-row python) —
+                # a no-op pad here: every row in sel has the same length
+                ids, att, mrows = pad_stack(
+                    [toks[i] for i in sel], [msks[i] for i in sel], pad_id
+                )
                 hidden = encoder_forward(w, ids, att)
                 # vectorized span pooling (variants of electra.py's
                 # first_token_pool / run_counting_mean_pool /
                 # all_match_pool); a row missing EITHER code keeps a
                 # fully-zero concat — score_candidates' degenerate rule
                 rows = np.arange(b)
-                mc = mrows == ccs[lo:hi, None]
-                md = mrows == dcs[lo:hi, None]
+                mc = mrows == ccs[gi, None]
+                md = mrows == dcs[gi, None]
                 has = mc.any(axis=1) & md.any(axis=1)
 
                 def pool(m: np.ndarray) -> np.ndarray:
@@ -236,9 +250,10 @@ def pool_features(
                         np.float32
                     )
 
-                blk = feats[lo:hi]
+                blk = feats[gi]
                 blk[has, :hs] = pool(mc)
                 blk[has, hs:] = pool(md)
+                feats[gi] = blk
             yield pd.DataFrame(
                 {
                     "url": pdf["url"].values,
@@ -273,50 +288,67 @@ def pool_fulltext_features(
     gradient AND excludes them from the loss mean — so dropping them
     here is gradient- and loss-identical to the reference loop, and
     the emitted rows feed the same ``train_pair_head`` allreduce
-    unchanged.  label_length per micro-batch is the batch's max real
-    pair count, exactly the levi trainer's batch label width
-    (cdr_trainer_levi.py:341)."""
+    unchanged.  label_length is each document's own real pair count —
+    pad pairs are never even pooled; real-pair features are identical
+    at any width because ``pool_pairs_one`` is a per-pair gather.
+
+    Batching is EQUAL-LENGTH-GROUPED (electra.length_grouped_batches),
+    exactly like ``scorer.score_fulltext``: documents of the same exact
+    token length share encoder batches of up to ``batch_size``, then
+    pooling runs per document at the document's own [C, T] shape.
+    Every emitted feature is BIT-IDENTICAL to its ``batch_size=1``
+    result at any batch size / partitioning / Arrow-chunk layout, so
+    the doc-level training path is layout-independent end-to-end (the
+    head's reductions downstream are already exact int64/decimal)."""
 
     key = _config_key(config)  # plain tuple crosses the UDF closure
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .electra import full_sample_pooled
+        from .electra import pool_pairs_one
 
         w = _weights_for(key, seed, npz_path)
         cols = ["url", "chem_mesh", "dis_mesh", "label", "feat"]
+        empty = pd.DataFrame(columns=cols)
         for pdf in batches:
-            out = []
-            for lo in range(0, len(pdf), batch_size):
-                chunk = pdf.iloc[lo : lo + batch_size]
-                labels = [list(x) for x in chunk["labels"]]
-                ll = max(len(x) for x in labels)
-                pooled = full_sample_pooled(
-                    w,
-                    [list(x) for x in chunk["token_ids"]],
-                    [list(x) for x in chunk["entity_mask"]],
-                    [list(x) for x in chunk["chem_codes"]],
-                    [list(x) for x in chunk["dis_codes"]],
-                    label_length=ll,
+            if not len(pdf):
+                yield empty
+                continue
+            tids = [list(x) for x in pdf["token_ids"]]
+            ems = [list(x) for x in pdf["entity_mask"]]
+            ccs = [list(x) for x in pdf["chem_codes"]]
+            dcs = [list(x) for x in pdf["dis_codes"]]
+            labels = [np.asarray(x, np.int32) for x in pdf["labels"]]
+            urls = pdf["url"].to_numpy()
+            cms_all = [list(x) for x in pdf["chem_meshes"]]
+            dms_all = [list(x) for x in pdf["dis_meshes"]]
+            frames: list[pd.DataFrame] = []
+            for sel in length_grouped_batches([len(t) for t in tids], batch_size):
+                ids, att, msk = pad_stack(
+                    [tids[i] for i in sel], [ems[i] for i in sel]
                 )
-                for b, row in enumerate(chunk.itertuples(index=False)):
-                    k = 0
-                    for cm in row.chem_meshes:
-                        for dm in row.dis_meshes:
-                            out.append(
-                                {
-                                    "url": row.url,
-                                    "chem_mesh": cm,
-                                    "dis_mesh": dm,
-                                    "label": int(labels[b][k]),
-                                    "feat": pooled[b, k].astype(np.float32),
-                                }
-                            )
-                            k += 1
-            yield (
-                pd.DataFrame(out, columns=cols)
-                if out
-                else pd.DataFrame(columns=cols)
-            )
+                hidden = encoder_forward(w, ids, att)
+                for j, i in enumerate(sel):
+                    ll = len(labels[i])
+                    pooled = pool_pairs_one(hidden[j], msk[j], ccs[i], dcs[i], ll)
+                    cms, dms = cms_all[i], dms_all[i]
+                    # pair order matches generate_code_pairs nesting
+                    # (chem-major), the order labels were built in
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "url": np.repeat(urls[i], ll),
+                                "chem_mesh": np.repeat(
+                                    np.asarray(cms, object), len(dms)
+                                ),
+                                "dis_mesh": np.tile(
+                                    np.asarray(dms, object), len(cms)
+                                ),
+                                "label": labels[i],
+                                "feat": list(pooled.astype(np.float32)),
+                            }
+                        )
+                    )
+            yield pd.concat(frames, ignore_index=True) if frames else empty
 
     return fulltext.mapInPandas(run, schema=POOLED_SCHEMA)
 

@@ -88,3 +88,47 @@ def test_macro_report_empty_frame_all_zeros(spark):
         assert r["recall_ppm"] == 0
         assert r["f1_ppm"] == 0
         assert r["support"] == 0
+
+
+def test_score_types_layout_independent(spark, fixtures, mesh):
+    """Equal-length-grouped NER scoring: emitted (pred, margin) rows are
+    bit-identical to the batch_size=1 / single-partition result at any
+    batch size or partitioning (the scorer.score_fulltext shape
+    discipline, applied to the token head)."""
+    import numpy as np
+
+    from relation_extraction_cdr_spark.operators.mentions import detect_mentions
+    from relation_extraction_cdr_spark.operators.ner import score_types
+    from relation_extraction_cdr_spark.plans.pipeline import extracted_docs
+    from relation_extraction_cdr_spark.scoring.electra import ElectraConfig
+    from relation_extraction_cdr_spark.sources.mesh import gazetteer
+
+    cfg = ElectraConfig(
+        vocab_size=30524, embedding_size=32, hidden_size=32,
+        num_hidden_layers=2, num_attention_heads=2, intermediate_size=64,
+    )
+    pages, _, _ = fixtures
+    docs = extracted_docs(pages.limit(12))
+    mentions = detect_mentions(docs, gazetteer(mesh, type_col="type"))
+    feats = ner_features(docs_with_mentions(docs, mentions))
+
+    def as_map(rows):
+        return {
+            (r["url"], r["span_idx"]): (r["label"], r["pred"], r["margin"])
+            for r in rows
+        }
+
+    base = as_map(
+        score_types(feats.coalesce(1), config=cfg, seed=3, batch_size=1).collect()
+    )
+    assert base
+    got = as_map(
+        score_types(
+            feats.repartition(5), config=cfg, seed=3, batch_size=4
+        ).collect()
+    )
+    assert got.keys() == base.keys()
+    for k, (lab, pred, margin) in got.items():
+        blab, bpred, bmargin = base[k]
+        assert lab == blab and pred == bpred, k
+        assert np.float64(margin) == np.float64(bmargin), k

@@ -530,6 +530,107 @@ class TestPoolFeatures:
         finally:
             pooled_df.unpersist()
 
+    def test_pooling_layout_independent(self, spark, fixtures, mesh, tiny_cfg):
+        """Equal-length-grouped pooling (electra.length_grouped_batches)
+        makes BOTH training pooling paths layout-independent: every
+        pooled feature is bit-identical to its batch_size=1 /
+        single-partition result at any batch size, partitioning, or
+        Arrow-chunk layout.  This is the property that lets the q93
+        lifecycle oracle pin exact integers regardless of how the
+        driver partitions the features frame."""
+        import pyspark.sql.functions as F
+
+        from relation_extraction_cdr_spark.operators.candidates import (
+            candidate_pairs,
+            label_pairs,
+        )
+        from relation_extraction_cdr_spark.operators.evidence import select_evidence
+        from relation_extraction_cdr_spark.operators.features import (
+            featurize,
+            fulltext_features,
+        )
+        from relation_extraction_cdr_spark.operators.mentions import (
+            detect_mentions,
+            entity_inventory,
+        )
+        from relation_extraction_cdr_spark.plans.pipeline import (
+            _mesh_artifacts,
+            extracted_docs,
+        )
+        from relation_extraction_cdr_spark.scoring.train import (
+            pool_fulltext_features,
+        )
+
+        pages, _, gold = fixtures
+        docs = extracted_docs(pages.limit(10))
+        gaz, _, _ = _mesh_artifacts(mesh, "type")
+        m = detect_mentions(docs, gaz)
+        inv = entity_inventory(m)
+        pairs = label_pairs(candidate_pairs(inv), gold)
+        feats = featurize(select_evidence(pairs.join(docs, "url")))
+
+        def as_map(rows):
+            return {
+                (r["url"], r["chem_mesh"], r["dis_mesh"]): (
+                    r["label"],
+                    np.array(r["feat"], np.float32),
+                )
+            for r in rows}
+
+        base = as_map(
+            pool_features(
+                feats.coalesce(1), config=tiny_cfg, seed=9, batch_size=1
+            ).collect()
+        )
+        assert base
+        for layout in (
+            pool_features(feats.repartition(7), config=tiny_cfg, seed=9),
+            pool_features(
+                feats.repartition(2), config=tiny_cfg, seed=9, batch_size=5
+            ),
+        ):
+            got = as_map(layout.collect())
+            assert got.keys() == base.keys()
+            for k, (lab, feat) in got.items():
+                assert lab == base[k][0]
+                assert np.array_equal(feat, base[k][1]), k
+
+        ents = (
+            m.groupBy("url", "mesh_id", "type")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("start", "end"))
+                ).alias("positions")
+            )
+            .groupBy("url")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("mesh_id", "type", "positions"))
+                ).alias("entities")
+            )
+        )
+        g = gold.groupBy("url").agg(
+            F.array_sort(
+                F.collect_list(F.struct("chem_mesh", "dis_mesh"))
+            ).alias("gold_pairs")
+        )
+        ft = fulltext_features(docs.join(ents, "url").join(g, "url", "left"))
+        base_ft = as_map(
+            pool_fulltext_features(
+                ft.coalesce(1), config=tiny_cfg, seed=7, batch_size=1
+            ).collect()
+        )
+        assert base_ft
+        got_ft = as_map(
+            pool_fulltext_features(
+                ft.repartition(5), config=tiny_cfg, seed=7, batch_size=4
+            ).collect()
+        )
+        assert got_ft.keys() == base_ft.keys()
+        for k, (lab, feat) in got_ft.items():
+            assert lab == base_ft[k][0]
+            assert np.array_equal(feat, base_ft[k][1]), k
+
     def test_pooling_variant_rejects_unknown(self, spark, tiny_cfg):
         import pytest
 
