@@ -31,16 +31,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate checks the FIRST 50 entries of queries().
 # Round-4 curation (VERDICT r3 item 2): (a) the four round-3 red rows,
-# now fixed to exact scaled-integer outputs; (b) every query whose
-# implementation changed this round (q87/q89 equal-length-grouped
-# batching, q37/q90 codec dispatch + PNG Sub vectorization, new q93
-# lifecycle + q94 JPEG); (c) the FULL rotation slice of queries last
-# driver-checked in r02 — two rounds stale — q01-q23, q25, q27, q31-q36,
-# q39, q42-q47, q49-q50 (40 queries), restoring their gate coverage.
-# Displaced q28-q30/q40/q48/q51-q86/q88/q91-q92 coverage rests on their
-# green r03 driver rows (one round old) plus pytest; q86/q91 train via
-# train_pair_head whose round-4 change (on_epoch/lr params, default
-# no-op) is pinned by tests/test_train.py parity, and the trained
+# now fixed to exact scaled-integer outputs; (b) every VALUE-ORACLED
+# query whose implementation changed this round (q37/q90 codec dispatch,
+# PNG Sub vectorization + widened PNG variants, new q93 lifecycle + q94
+# JPEG + q95 palette/16-bit/interlaced PNG) plus q87 for the
+# equal-length-grouped scorer batching; (c) the FULL rotation slice of
+# queries last driver-checked in r02 — two rounds stale — q01-q23, q25,
+# q27, q31-q36, q39, q42-q47, q49-q50 (40 queries), restoring their gate
+# coverage.  The OTHER round-4-changed queries are rows-only by design
+# (q86/q88/q91 training/NER loops and q89, which shares q87's grouped
+# batching code path), so a driver row adds only rows>0 over the pytest
+# bit-exactness pins (test_train layout-independence, test_ner, the
+# scorer batched-bit-identical test) — they and q28-q30/q40/q48/
+# q51-q86/q92 rest on green r03 driver rows plus pytest; the trained
 # lifecycle is value-gated in-window via q93.  Everything not listed
 # still runs (appended in registry order).
 DRIVER_WINDOW = [
@@ -49,11 +52,11 @@ DRIVER_WINDOW = [
     "q67_source_mixture",
     "q74_ann_recall",
     "q75_crossdoc_passages",
-    # round-4 new / implementation-changed
+    # round-4 new / implementation-changed (value-oracled, + q87)
     "q93_train_serve_lifecycle",
     "q94_jpeg_decode",
+    "q95_png_variants",
     "q87_fullsample_logits",
-    "q89_alps_logits",
     "q37_multimodal_features",
     "q90_png_decode",
     # rotation slice: last driver-checked in r02 (two rounds stale)

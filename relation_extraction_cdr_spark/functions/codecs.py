@@ -5,16 +5,18 @@ opaque binary + typed metadata, with decode as a pandas-UDF kernel.  The
 container ships no PIL/ffmpeg, so these decoders make the decode seam
 REAL for the formats that need nothing beyond ``zlib``/``struct``/numpy:
 
-- PNG (RFC 2083): 8-bit greyscale / RGB / RGBA, non-interlaced, all five
-  scanline filter types (None/Sub/Up/Average/Paeth) — the complete
-  baseline-truecolor subset a feature-extraction pipeline meets in
-  practice.  Palette, interlace, and 16-bit raise NotImplementedError
-  (the documented seam for a full codec).
+- PNG (RFC 2083): 8- and 16-bit greyscale / grey+alpha / RGB / RGBA,
+  8-bit palette (PLTE, optional tRNS), Adam7 interlacing, all five
+  scanline filter types (None/Sub/Up/Average/Paeth).  Sub-byte depths
+  (1/2/4-bit) raise NotImplementedError (the remaining documented seam
+  for a full codec).
 - WAV (RIFF): PCM 16-bit little-endian, any channel count/rate.
-- JPEG (ITU-T T.81 baseline sequential): 8-bit, greyscale or 4:4:4
-  YCbCr, canonical Annex K huffman tables, byte stuffing, zigzag, DC
-  prediction, real float DCT/IDCT.  Progressive, subsampled chroma,
-  restart intervals, and 16-bit quant tables raise NotImplementedError.
+- JPEG (ITU-T T.81 baseline sequential): 8-bit, greyscale or YCbCr at
+  4:4:4 / 4:2:2 / 4:2:0 chroma sampling (MCU-interleaved scan; box-mean
+  chroma downsample on encode, replication upsample on decode),
+  canonical Annex K huffman tables, byte stuffing, zigzag, DC
+  prediction, real float DCT/IDCT.  Progressive, restart intervals,
+  and 16-bit quant tables raise NotImplementedError.
 
 Encoders exist so tests and datagen can synthesize REAL files
 deterministically (PNG rows cycle all 5 filter types; JPEG emits a real
@@ -30,8 +32,14 @@ import numpy as np
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-_COLOR_TYPE = {1: 0, 3: 2, 4: 6}  # channels -> PNG color type
-_CHANNELS = {0: 1, 2: 3, 6: 4}
+_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> PNG color type
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> channels
+
+# Adam7 interlace passes: (x0, y0, dx, dy) per PNG spec 8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
 def _chunk(tag: bytes, body: bytes) -> bytes:
@@ -54,23 +62,18 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def png_encode(pixels: np.ndarray) -> bytes:
-    """(h, w) or (h, w, c) uint8 -> PNG bytes.  Scanline r uses filter
-    type r % 5, so a round-trip proves every unfilter branch."""
-    px = np.asarray(pixels, np.uint8)
-    if px.ndim == 2:
-        px = px[:, :, None]
-    h, w, ch = px.shape
-    if ch not in _COLOR_TYPE:
-        raise NotImplementedError(f"png_encode: {ch} channels unsupported")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[ch], 0, 0, 0)
+def _filter_lines(rows: np.ndarray, bpp: int, f0: int = 0) -> bytearray:
+    """Filter (h, stride) byte rows for encoding; scanline r uses filter
+    type (f0 + r) % 5, so round-trips prove every unfilter branch."""
+    h = rows.shape[0]
+    stride = rows.shape[1] if h else 0
     raw = bytearray()
-    prev = np.zeros(w * ch, np.uint8)
+    prev = np.zeros(stride, np.uint8)
     for r in range(h):
-        line = px[r].reshape(-1)
-        f = r % 5
-        left = np.concatenate([np.zeros(ch, np.uint8), line[:-ch]])
-        upleft = np.concatenate([np.zeros(ch, np.uint8), prev[:-ch]])
+        line = rows[r]
+        f = (f0 + r) % 5
+        left = np.concatenate([np.zeros(bpp, np.uint8), line[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
         if f == 0:
             enc = line
         elif f == 1:
@@ -84,6 +87,48 @@ def png_encode(pixels: np.ndarray) -> bytes:
         raw.append(f)
         raw.extend(enc.astype(np.uint8).tobytes())
         prev = line
+    return raw
+
+
+def _byte_rows(px: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """(h, w, c) uint8/uint16 pixels -> ((h, w, bypp) big-endian sample
+    bytes, depth, bytes-per-pixel)."""
+    h, w, ch = px.shape
+    if px.dtype == np.uint16:
+        return (
+            px.astype(">u2").view(np.uint8).reshape(h, w, ch * 2), 16, ch * 2
+        )
+    return px.astype(np.uint8).reshape(h, w, ch), 8, ch
+
+
+def png_encode(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """(h, w) or (h, w, c) uint8 (8-bit) or uint16 (16-bit) -> PNG
+    bytes, optionally Adam7-interlaced.  Filter types cycle across
+    scanlines (continuing across interlace passes)."""
+    px = np.asarray(pixels)
+    if px.dtype not in (np.uint8, np.uint16):
+        px = px.astype(np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    if ch not in _COLOR_TYPE:
+        raise NotImplementedError(f"png_encode: {ch} channels unsupported")
+    rows, depth, bypp = _byte_rows(px)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, _COLOR_TYPE[ch], 0, 0, 1 if interlace else 0
+    )
+    if not interlace:
+        raw = _filter_lines(rows.reshape(h, w * bypp), bypp)
+    else:
+        raw = bytearray()
+        f0 = 0
+        for x0, y0, dx, dy in _ADAM7:
+            sub = rows[y0::dy, x0::dx]
+            ph, pw = sub.shape[0], sub.shape[1]
+            if ph == 0 or pw == 0:
+                continue
+            raw.extend(_filter_lines(sub.reshape(ph, pw * bypp), bypp, f0))
+            f0 += ph
     return (
         PNG_MAGIC
         + _chunk(b"IHDR", ihdr)
@@ -92,15 +137,95 @@ def png_encode(pixels: np.ndarray) -> bytes:
     )
 
 
+def png_encode_palette(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    trns: np.ndarray | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """(h, w) uint8 palette indices + (n, 3) uint8 palette (+ optional
+    (m,) uint8 per-entry alpha) -> color-type-3 PNG bytes."""
+    idx = np.asarray(indices, np.uint8)
+    pal = np.asarray(palette, np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or not (1 <= pal.shape[0] <= 256):
+        raise ValueError("palette must be (n, 3) uint8, 1 <= n <= 256")
+    if idx.max(initial=0) >= pal.shape[0]:
+        raise ValueError("palette index out of range")
+    h, w = idx.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 1 if interlace else 0)
+    rows = idx.reshape(h, w, 1)
+    if not interlace:
+        raw = _filter_lines(rows.reshape(h, w), 1)
+    else:
+        raw = bytearray()
+        f0 = 0
+        for x0, y0, dx, dy in _ADAM7:
+            sub = rows[y0::dy, x0::dx]
+            ph, pw = sub.shape[0], sub.shape[1]
+            if ph == 0 or pw == 0:
+                continue
+            raw.extend(_filter_lines(sub.reshape(ph, pw), 1, f0))
+            f0 += ph
+    out = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal.tobytes())
+    if trns is not None:
+        out += _chunk(b"tRNS", np.asarray(trns, np.uint8).tobytes())
+    return out + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+
+
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int, off: int) -> np.ndarray:
+    """Unfilter ``h`` scanlines of ``stride`` bytes (``bpp`` bytes per
+    pixel) starting at byte ``off`` of the decompressed IDAT stream.
+    Returns (h, stride) uint8."""
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for r in range(h):
+        f = raw[off + r * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, offset=off + r * (stride + 1) + 1
+        ).copy()
+        if f == 0:
+            pass
+        elif f == 2:  # Up — vectorizable
+            line += prev
+        elif f == 3:  # Average — left-dependence forces the pixel scan
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (int(line[i]) + ((int(a) + int(prev[i])) >> 1)) & 0xFF
+        elif f == 1:  # Sub — per-byte-lane prefix sum mod 256
+            line = line.reshape(-1, bpp).cumsum(axis=0, dtype=np.int64)
+            line = (line & 0xFF).astype(np.uint8).reshape(-1)
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {f}")
+        out[r] = line
+        prev = out[r]
+    return out
+
+
 def png_decode(payload: bytes) -> np.ndarray:
-    """PNG bytes -> (h, w, channels) uint8.  8-bit grey/RGB/RGBA,
-    non-interlaced; every scanline filter type."""
+    """PNG bytes -> (h, w, channels) uint8 or uint16.  8/16-bit
+    grey / grey+alpha / RGB / RGBA, 8-bit palette (PLTE + optional
+    tRNS -> RGB/RGBA), Adam7 interlacing, every scanline filter type.
+    Palette output is uint8 RGB, or RGBA when tRNS is present; other
+    color types return the file's own channel count at its own depth."""
     if payload[:8] != PNG_MAGIC:
         raise ValueError("not a PNG: bad signature")
     pos = 8
     w = h = None
+    depth = interlace = 0
+    color = -1
     ch = 0
     idat = bytearray()
+    plte: np.ndarray | None = None
+    trns: np.ndarray | None = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
@@ -110,55 +235,61 @@ def png_decode(payload: bytes) -> np.ndarray:
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8:
-                raise NotImplementedError(f"png_decode: bit depth {depth}")
             if color not in _CHANNELS:
                 raise NotImplementedError(f"png_decode: color type {color}")
-            if interlace:
-                raise NotImplementedError("png_decode: interlaced PNG")
+            if depth not in (8, 16) or (color == 3 and depth != 8):
+                raise NotImplementedError(f"png_decode: bit depth {depth}")
             ch = _CHANNELS[color]
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, np.uint8)
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
             break
     if w is None:
         raise ValueError("not a PNG: missing IHDR")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    bypp = ch * (depth // 8)
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG data length mismatch")
-    out = np.zeros((h, stride), np.uint8)
-    prev = np.zeros(stride, np.uint8)
-    for r in range(h):
-        f = raw[r * (stride + 1)]
-        line = np.frombuffer(
-            raw, np.uint8, stride, offset=r * (stride + 1) + 1
-        ).copy()
-        if f == 0:
-            pass
-        elif f == 2:  # Up — vectorizable
-            line += prev
-        elif f == 3:  # Average — left-dependence forces the pixel scan
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                line[i] = (int(line[i]) + ((int(a) + int(prev[i])) >> 1)) & 0xFF
-        elif f == 1:  # Sub — per-channel-lane prefix sum mod 256
-            line = line.reshape(-1, ch).cumsum(axis=0, dtype=np.int64)
-            line = (line & 0xFF).astype(np.uint8).reshape(-1)
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = int(line[i - ch]) if i >= ch else 0
-                b = int(prev[i])
-                c = int(prev[i - ch]) if i >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (int(line[i]) + pred) & 0xFF
-        else:
-            raise ValueError(f"PNG: unknown filter type {f}")
-        out[r] = line
-        prev = out[r]
-    return out.reshape(h, w, ch)
+    if not interlace:
+        stride = w * bypp
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG data length mismatch")
+        rows = _unfilter(raw, h, stride, bypp, 0).reshape(h, w, bypp)
+    else:  # Adam7: 7 independently-filtered sub-images, scattered back
+        rows = np.zeros((h, w, bypp), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = pw * bypp
+            rows[y0::dy, x0::dx] = _unfilter(raw, ph, stride, bypp, off).reshape(
+                ph, pw, bypp
+            )
+            off += ph * (stride + 1)
+        if off != len(raw):
+            raise ValueError("PNG data length mismatch")
+    if depth == 16:
+        out = (
+            rows.reshape(h, w, ch, 2)[..., 0].astype(np.uint16) << 8
+        ) | rows.reshape(h, w, ch, 2)[..., 1]
+        return out
+    if color == 3:
+        idx = rows.reshape(h, w)
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]  # (h, w, 3)
+        if trns is None:
+            return rgb
+        alpha = np.full(plte.shape[0], 255, np.uint8)
+        alpha[: len(trns)] = trns
+        return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+    return rows.reshape(h, w, ch)
 
 
 WAV_MAGIC = b"RIFF"
@@ -214,9 +345,9 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
 # Baseline JPEG (ITU-T T.81): pure-python encoder + decoder.
 #
 # Scope (documented seam boundaries, like PNG's): baseline sequential
-# DCT, 8-bit, 1 component (greyscale) or 3 components YCbCr with 4:4:4
-# sampling, interleaved single scan, standard Annex K huffman tables.
-# Progressive (SOF2), extended/lossless SOFs, subsampled chroma,
+# DCT, 8-bit, 1 component (greyscale) or 3 components YCbCr at 4:4:4 /
+# 4:2:2 / 4:2:0 sampling, interleaved single scan, standard Annex K
+# huffman tables.  Progressive (SOF2), extended/lossless SOFs,
 # restart intervals (DRI), and 16-bit quant tables raise
 # NotImplementedError.  The encoder exists so tests/datagen synthesize
 # REAL bitstreams deterministically (headers, canonical huffman,
@@ -370,10 +501,29 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, prev_dc: int, dc_codes, ac_cod
     return int(zz[0])
 
 
-def _component_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
-    """(h, w) uint8 plane -> [bh, bw, 64] zigzagged quantized coeffs."""
+def _chroma_downsample(plane: np.ndarray, hs: int, vs: int) -> np.ndarray:
+    """Box-mean chroma downsample by (hs, vs) with edge-replicate pad
+    to full sampling cells (the common encoder convention; a flat cell
+    downsamples exactly to its value, which q96's oracle relies on)."""
     h, w = plane.shape
-    bh, bw = -(-h // 8), -(-w // 8)
+    ph, pw = -(-h // vs) * vs, -(-w // hs) * hs
+    p = np.empty((ph, pw), np.float64)
+    p[:h, :w] = plane
+    p[h:, :w] = plane[h - 1 : h, :w]
+    p[:, w:] = p[:, w - 1 : w]
+    return np.rint(p.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3)))
+
+
+def _component_blocks(
+    plane: np.ndarray, q: np.ndarray, mult: tuple[int, int] = (1, 1)
+) -> np.ndarray:
+    """(h, w) uint8 plane -> [bh, bw, 64] zigzagged quantized coeffs;
+    the block grid rounds up to multiples of ``mult`` = (v, h) sampling
+    factors so MCUs are always complete (T.81 A.2.4)."""
+    h, w = plane.shape
+    mv, mh = mult
+    bh = -(-(-(-h // 8)) // mv) * mv
+    bw = -(-(-(-w // 8)) // mh) * mh
     padded = np.empty((bh * 8, bw * 8), np.float64)
     padded[:h, :w] = plane
     padded[h:, :w] = plane[-1:, :]  # edge-replicate pad
@@ -392,25 +542,39 @@ def jpeg_encode(
     pixels: np.ndarray,
     quant_luma: np.ndarray | None = None,
     quant_chroma: np.ndarray | None = None,
+    subsampling: str = "444",
 ) -> bytes:
     """(h, w) grey or (h, w, 3) RGB uint8 -> baseline JPEG bytes
-    (4:4:4, Annex K huffman tables, flat-8 quant by default)."""
+    (Annex K huffman tables, flat-8 quant by default; ``subsampling``
+    picks the chroma layout: '444', '422', or '420' — the 4:4:4 scan
+    is byte-identical to the pre-subsampling encoder)."""
     px = np.asarray(pixels, np.uint8)
     grey = px.ndim == 2
     if not grey and px.shape[2] != 3:
         raise NotImplementedError(f"jpeg_encode: {px.shape[2]} channels")
+    if subsampling not in ("444", "422", "420"):
+        raise NotImplementedError(f"jpeg_encode: subsampling {subsampling!r}")
+    hs, vs = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
+    if grey:
+        hs = vs = 1
     h, w = px.shape[:2]
     ql = (_Q_FLAT8 if quant_luma is None else np.asarray(quant_luma, np.int64)).reshape(-1)
     qc = (_Q_FLAT8 if quant_chroma is None else np.asarray(quant_chroma, np.int64)).reshape(-1)
     if grey:
-        planes = [px.astype(np.float64)]
+        comps = [_component_blocks(px.astype(np.float64), ql)]
     else:
         r, g, b = (px[..., i].astype(np.float64) for i in range(3))
         y = np.clip(np.rint(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
         cb = np.clip(np.rint(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0), 0, 255)
         cr = np.clip(np.rint(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0), 0, 255)
-        planes = [y, cb, cr]
-    comps = [_component_blocks(p, ql if i == 0 else qc) for i, p in enumerate(planes)]
+        if hs > 1 or vs > 1:
+            cb = _chroma_downsample(cb, hs, vs)
+            cr = _chroma_downsample(cr, hs, vs)
+        comps = [
+            _component_blocks(y, ql, (vs, hs)),
+            _component_blocks(cb, qc),
+            _component_blocks(cr, qc),
+        ]
 
     out = bytearray(b"\xff\xd8")  # SOI
     # DQT (8-bit precision)
@@ -421,7 +585,8 @@ def jpeg_encode(
     ncomp = 1 if grey else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        samp = ((hs << 4) | vs) if ci == 0 else 0x11
+        sof += bytes([ci + 1, samp, 0 if ci == 0 else 1])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     # DHT
     tables = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
@@ -439,13 +604,21 @@ def jpeg_encode(
     # interleaved entropy-coded scan (one block per component per MCU)
     dc_codes = [_canonical_codes(*(_DC_LUMA if i == 0 else _DC_CHROMA)) for i in range(ncomp)]
     ac_codes = [_canonical_codes(*(_AC_LUMA if i == 0 else _AC_CHROMA)) for i in range(ncomp)]
-    bw_ = comps[0].shape[1]
-    bh_ = comps[0].shape[0]
+    # MCU-interleaved scan (T.81 A.2.3): (vs*hs) luma blocks in raster
+    # order within the MCU, then one block per chroma component
+    mcuy = comps[0].shape[0] // vs
+    mcux = comps[0].shape[1] // hs
     bwriter = _BitWriter()
     prev = [0] * ncomp
-    for by in range(bh_):
-        for bx in range(bw_):
-            for ci in range(ncomp):
+    for by in range(mcuy):
+        for bx in range(mcux):
+            for v in range(vs):
+                for hh in range(hs):
+                    prev[0] = _encode_block(
+                        bwriter, comps[0][by * vs + v, bx * hs + hh],
+                        prev[0], dc_codes[0], ac_codes[0],
+                    )
+            for ci in range(1, ncomp):
                 prev[ci] = _encode_block(
                     bwriter, comps[ci][by, bx], prev[ci], dc_codes[ci], ac_codes[ci]
                 )
@@ -495,10 +668,10 @@ def _extend(v: int, size: int) -> int:
 def jpeg_decode_coeffs(payload: bytes):
     """Parse a baseline JPEG down to its quantized coefficient blocks:
     returns (h, w, [per-component [bh, bw, 64] zigzag coeff arrays],
-    [per-component dequant tables]).  Split from jpeg_decode so tests
-    can pin the bitstream layer (huffman/zigzag/DC-prediction/stuffing)
-    EXACTLY against the encoder's coefficients, independent of IDCT
-    float tolerance."""
+    [per-component dequant tables], [per-component (h_i, v_i) sampling
+    factors]).  Split from jpeg_decode so tests can pin the bitstream
+    layer (huffman/zigzag/DC-prediction/stuffing) EXACTLY against the
+    encoder's coefficients, independent of IDCT float tolerance."""
     if payload[:3] != JPEG_MAGIC[:3] or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
@@ -541,9 +714,10 @@ def jpeg_decode_coeffs(payload: bytes):
             _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0xF
+                if hi not in (1, 2, 4) or vi not in (1, 2, 4):
                     raise NotImplementedError(
-                        "jpeg_decode: subsampled chroma (4:4:4 only)"
+                        f"jpeg_decode: sampling factors {hi}x{vi}"
                     )
                 comps.append((cid, tq, samp))
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -578,41 +752,61 @@ def jpeg_decode_coeffs(payload: bytes):
         raw.append(b)
         p += 1
     br = _BitReader(bytes(raw))
-    bh, bw = -(-h // 8), -(-w // 8)
-    blocks = [np.zeros((bh, bw, 64), np.int64) for _ in comps]
+    samps = [(c[2] >> 4, c[2] & 0xF) for c in comps]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    # MCU grid (T.81 A.1.1/A.2.4): each component carries (h_i x v_i)
+    # blocks per MCU; its block grid is MCU-padded, decode crops later
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    blocks = [
+        np.zeros((mcuy * vi, mcux * hi, 64), np.int64) for hi, vi in samps
+    ]
     prev = [0] * len(comps)
-    for by in range(bh):
-        for bx in range(bw):
+
+    def _block(zz: np.ndarray, tdc: int, tac: int, idx: int) -> None:
+        size = _read_symbol(br, huff[(0, tdc)])
+        diff = _extend(br.bits(size), size) if size else 0
+        prev[idx] += diff
+        zz[0] = prev[idx]
+        k = 1
+        while k < 64:
+            sym = _read_symbol(br, huff[(1, tac)])
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += sym >> 4
+            size = sym & 0xF
+            if k > 63:
+                raise ValueError("JPEG: AC index overflow")
+            zz[k] = _extend(br.bits(size), size)
+            k += 1
+
+    for by in range(mcuy):
+        for bx in range(mcux):
             for idx, tdc, tac in scan:
-                zz = blocks[idx][by, bx]
-                size = _read_symbol(br, huff[(0, tdc)])
-                diff = _extend(br.bits(size), size) if size else 0
-                prev[idx] += diff
-                zz[0] = prev[idx]
-                k = 1
-                while k < 64:
-                    sym = _read_symbol(br, huff[(1, tac)])
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    size = sym & 0xF
-                    if k > 63:
-                        raise ValueError("JPEG: AC index overflow")
-                    zz[k] = _extend(br.bits(size), size)
-                    k += 1
-    return h, w, blocks, [qt[c[1]] for c in comps]
+                hi, vi = samps[idx]
+                for v in range(vi):
+                    for hh in range(hi):
+                        _block(
+                            blocks[idx][by * vi + v, bx * hi + hh],
+                            tdc, tac, idx,
+                        )
+    return h, w, blocks, [qt[c[1]] for c in comps], samps
 
 
 def jpeg_decode(payload: bytes) -> np.ndarray:
     """Baseline JPEG bytes -> (h, w, channels) uint8 (1 or 3 channels;
-    3-component output is RGB via the JFIF YCbCr transform)."""
-    h, w, blocks, quants = jpeg_decode_coeffs(payload)
-    bh, bw = -(-h // 8), -(-w // 8)
+    3-component output is RGB via the JFIF YCbCr transform; subsampled
+    components upsample by pixel replication)."""
+    h, w, blocks, quants, samps = jpeg_decode_coeffs(payload)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
     planes = []
-    for coeffs, q in zip(blocks, quants):
+    for coeffs, q, (hi, vi) in zip(blocks, quants, samps):
+        bh, bw = coeffs.shape[:2]
         plane = np.empty((bh * 8, bw * 8), np.float64)
         qz = q.reshape(8, 8)
         for by in range(bh):
@@ -623,6 +817,8 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                     _DCT_C.T @ f @ _DCT_C
                 )
+        if hi < hmax or vi < vmax:  # replication upsample to full grid
+            plane = np.repeat(np.repeat(plane, vmax // vi, 0), hmax // hi, 1)
         planes.append(plane[:h, :w] + 128.0)
     if len(planes) == 1:
         return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)[:, :, None]

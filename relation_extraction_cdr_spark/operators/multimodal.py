@@ -59,12 +59,12 @@ def _decode(payload: bytes, kind: str) -> np.ndarray:
     only; all five PNG filter types; Annex-K huffman JPEG); other
     payloads fall through to the deterministic fake so the synthetic
     media table keeps working.  Video (and the remaining image/audio
-    containers: progressive/subsampled JPEG, palette PNG, ...) remain
-    the documented seam for PIL/ffmpeg.
+    containers: progressive/subsampled JPEG, sub-byte-depth PNG, ...)
+    remain the documented seam for PIL/ffmpeg.
 
     Real-decode features are 8-dim like the fake's, so FEATURES_SCHEMA
-    is container-independent:
-      PNG/JPEG -> [w, h, ch, mean_all/255, mean_c0/255 .. mean_c3/255]
+    is container-independent (``maxv`` = 255 or 65535 by sample depth):
+      PNG/JPEG -> [w, h, ch, mean_all/maxv, mean_c0/maxv .. mean_c3/maxv]
                   (absent channels 0)
       WAV  -> [rate/1e3, n_samples, ch, mean/2^15, rms/2^15, 0, 0, 0]
     """
@@ -75,10 +75,11 @@ def _decode(payload: bytes, kind: str) -> np.ndarray:
         px = _codecs.jpeg_decode(payload)
     if px is not None:
         h, w, ch = px.shape
-        means = px.reshape(-1, ch).mean(axis=0) / 255.0
+        maxv = 65535.0 if px.dtype == np.uint16 else 255.0
+        means = px.reshape(-1, ch).mean(axis=0) / maxv
         cmeans = [float(means[i]) if i < ch else 0.0 for i in range(4)]
         return np.array(
-            [float(w), float(h), float(ch), float(px.mean() / 255.0), *cmeans]
+            [float(w), float(h), float(ch), float(px.mean() / maxv), *cmeans]
         )
     if payload[:4] == _codecs.WAV_MAGIC and payload[8:12] == b"WAVE":
         samples, rate = _codecs.wav_decode(payload)

@@ -4798,3 +4798,135 @@ def q94(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "q95_png_variants",
+    """
+    WITH ids AS (SELECT CAST(range AS BIGINT) AS id FROM range(0, 24)),
+    dims AS (SELECT id, id % 4 AS v, CAST(12 + id % 5 AS INT) AS w,
+                    CAST(9 + id % 3 AS INT) AS h,
+                    16 + id % 7 AS npal FROM ids),
+    xs AS (SELECT CAST(range AS BIGINT) AS x FROM range(0, 17)),
+    ys AS (SELECT CAST(range AS BIGINT) AS y FROM range(0, 12)),
+    cs AS (SELECT UNNEST([0, 1, 2, 3]) AS c),
+    cells AS (
+      SELECT d.id, d.v, d.w, d.h, cs.c,
+        SUM(CASE
+          WHEN d.v = 0 AND cs.c < 3
+            THEN (5 * ((d.id + 3 * xs.x + 5 * ys.y) % d.npal)
+                  + 11 * cs.c + d.id) % 256
+          WHEN d.v = 0
+            THEN CASE
+              WHEN ((d.id + 3 * xs.x + 5 * ys.y) % d.npal) < d.npal // 2
+                THEN (7 * ((d.id + 3 * xs.x + 5 * ys.y) % d.npal)) % 256
+              ELSE 255 END
+          WHEN d.v = 1 AND cs.c < 3
+            THEN ((31 * d.id + 7 * xs.x + 13 * ys.y + 29 * cs.c) * 257) % 65536
+          WHEN d.v = 2 AND cs.c < 2
+            THEN (17 * d.id + 3 * xs.x + 11 * ys.y + 41 * cs.c) % 256
+          WHEN d.v = 3 AND cs.c < 3
+            THEN (31 * d.id + 7 * xs.x + 13 * ys.y + 29 * cs.c) % 256
+          ELSE 0 END) AS s
+      FROM dims d
+      JOIN xs ON xs.x < d.w
+      JOIN ys ON ys.y < d.h
+      CROSS JOIN cs
+      GROUP BY 1, 2, 3, 4, 5)
+    SELECT id AS media_id,
+           CASE v WHEN 0 THEN 'palette' WHEN 1 THEN 'rgb16'
+                  WHEN 2 THEN 'grey_alpha' ELSE 'interlaced' END AS variant,
+           w AS width, h AS height,
+           CAST(CASE v WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 3 END
+                AS INT) AS channels,
+           CAST(MAX(CASE WHEN c = 0 THEN s END) AS BIGINT) AS sum_c0,
+           CAST(MAX(CASE WHEN c = 1 THEN s END) AS BIGINT) AS sum_c1,
+           CAST(MAX(CASE WHEN c = 2 THEN s END) AS BIGINT) AS sum_c2,
+           CAST(MAX(CASE WHEN c = 3 THEN s END) AS BIGINT) AS sum_c3
+    FROM cells GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def q95(spark, sf_dir):
+    """REAL PNG decode across the WIDENED codec surface, VALUE-ORACLED
+    (the q90 pattern over the variants q90 doesn't cover): per image a
+    variant by id % 4 —
+      0 'palette'    8-bit color-type-3 with PLTE + short tRNS (decode
+                     expands to RGBA; alpha pads opaque past tRNS)
+      1 'rgb16'      16-bit truecolor (big-endian sample pairs)
+      2 'grey_alpha' 8-bit color-type-4 (2 channels)
+      3 'interlaced' 8-bit RGB, Adam7 (7 per-pass filtered sub-images)
+    Pixels/palette entries follow closed modular forms; the Spark side
+    round-trips REAL bytes through functions/codecs.py (filter types
+    cycle across scanlines and interlace passes) and emits exact
+    per-channel sums; the DuckDB oracle computes the same sums straight
+    from the formulas.  Any bug in palette lookup, tRNS padding, 16-bit
+    byte order, grey+alpha stride, or Adam7 pass geometry breaks the
+    hash.  Scale shape: embarrassingly parallel mapInPandas, no shuffle
+    before the dimension-bounded projection."""
+    import pandas as pd  # noqa: F811
+
+    def run(batches):
+        import numpy as np
+
+        from ..functions.codecs import (
+            png_decode,
+            png_encode,
+            png_encode_palette,
+        )
+
+        names = {0: "palette", 1: "rgb16", 2: "grey_alpha", 3: "interlaced"}
+        cols = ["media_id", "variant", "width", "height", "channels",
+                "sum_c0", "sum_c1", "sum_c2", "sum_c3"]
+        for pdf in batches:
+            out = []
+            for did in pdf["id"]:
+                did = int(did)
+                v, w, h = did % 4, 12 + did % 5, 9 + did % 3
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                if v == 0:
+                    npal = 16 + did % 7
+                    xx = np.arange(w)[None, :]
+                    yy = np.arange(h)[:, None]
+                    idx = ((did + 3 * xx + 5 * yy) % npal).astype(np.uint8)
+                    j = np.arange(npal)[:, None]
+                    pal = ((5 * j + 11 * np.arange(3)[None, :] + did) % 256).astype(np.uint8)
+                    trns = ((7 * np.arange(npal // 2)) % 256).astype(np.uint8)
+                    blob = png_encode_palette(idx, pal, trns=trns)
+                elif v == 1:
+                    c = np.arange(3)[None, None, :]
+                    px = (((31 * did + 7 * x + 13 * y + 29 * c) * 257) % 65536).astype(np.uint16)
+                    blob = png_encode(px)
+                elif v == 2:
+                    c = np.arange(2)[None, None, :]
+                    px = ((17 * did + 3 * x + 11 * y + 41 * c) % 256).astype(np.uint8)
+                    blob = png_encode(px)
+                else:
+                    c = np.arange(3)[None, None, :]
+                    px = ((31 * did + 7 * x + 13 * y + 29 * c) % 256).astype(np.uint8)
+                    blob = png_encode(px, interlace=True)
+                back = png_decode(blob)  # the kernel under test
+                bh, bw, ch = back.shape
+                sums = back.reshape(-1, ch).astype(np.int64).sum(axis=0)
+                out.append(
+                    {"media_id": did, "variant": names[v],
+                     "width": bw, "height": bh, "channels": ch,
+                     "sum_c0": int(sums[0]),
+                     "sum_c1": int(sums[1]) if ch > 1 else 0,
+                     "sum_c2": int(sums[2]) if ch > 2 else 0,
+                     "sum_c3": int(sums[3]) if ch > 3 else 0}
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return (
+        spark.range(0, 24)
+        .repartition(8)
+        .mapInPandas(
+            run,
+            schema=(
+                "media_id long, variant string, width int, height int, "
+                "channels int, sum_c0 long, sum_c1 long, sum_c2 long, "
+                "sum_c3 long"
+            ),
+        )
+    )

@@ -127,12 +127,108 @@ class TestCodecs:
                 + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
             )
 
-        ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
-        blob = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+        # sub-byte depths stay the documented seam
+        ihdr4 = struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)
+        blob = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr4)
         with pytest.raises(NotImplementedError):
             png_decode(blob)
+        # palette is 8-bit-only per spec support here
+        ihdr_p16 = struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0)
+        with pytest.raises(NotImplementedError):
+            png_decode(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_p16))
         with pytest.raises(ValueError):
             png_decode(b"notapng")
+
+    def test_png_interlaced_pinned(self):
+        """Hand-constructed 3x3 Adam7 greyscale PNG (filter 0 rows,
+        pass stream laid out literally in spec order) decodes to the
+        pinned pixel grid — the decoder's deinterlace is checked
+        against the spec's pass geometry, not against the encoder."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import png_decode
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        v = [[11, 12, 13], [21, 22, 23], [31, 32, 33]]
+        # Adam7 pass order for 3x3: p1=(0,0); p4=(0,2); p5=(2,0),(2,2);
+        # p6=(0,1),(2,1); p7=row 1 entire
+        raw = bytes(
+            [0, v[0][0]]
+            + [0, v[0][2]]
+            + [0, v[2][0], v[2][2]]
+            + [0, v[0][1]] + [0, v[2][1]]
+            + [0, v[1][0], v[1][1], v[1][2]]
+        )
+        ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 1)
+        blob = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(
+            png_decode(blob), np.array(v, np.uint8)[:, :, None]
+        )
+
+    def test_png_palette_roundtrip(self):
+        """Palette encode -> decode == palette lookup; tRNS adds the
+        alpha plane (shorter-than-palette tRNS pads with opaque 255)."""
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            png_decode,
+            png_encode_palette,
+        )
+
+        rng = np.random.default_rng(5)
+        pal = rng.integers(0, 256, (17, 3), dtype=np.uint8)
+        idx = rng.integers(0, 17, (9, 13), dtype=np.uint8)
+        for interlace in (False, True):
+            got = png_decode(png_encode_palette(idx, pal, interlace=interlace))
+            assert np.array_equal(got, pal[idx])
+        trns = np.array([0, 128, 255], np.uint8)  # entries 3+ -> 255
+        got = png_decode(png_encode_palette(idx, pal, trns=trns))
+        assert got.shape == (9, 13, 4)
+        assert np.array_equal(got[:, :, :3], pal[idx])
+        alpha = np.full(17, 255, np.uint8)
+        alpha[:3] = trns
+        assert np.array_equal(got[:, :, 3], alpha[idx])
+
+    def test_png_depth16_and_variants_roundtrip(self):
+        """16-bit grey/RGB/RGBA, 8-bit grey+alpha, and Adam7 interlace
+        all survive encode -> decode bit-exactly (filter cycling crosses
+        pass boundaries, so every unfilter branch runs per pass)."""
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            png_decode,
+            png_encode,
+        )
+
+        rng = np.random.default_rng(11)
+        cases = [
+            rng.integers(0, 65536, (7, 9, 1), dtype=np.uint16),
+            rng.integers(0, 65536, (6, 5, 3), dtype=np.uint16),
+            rng.integers(0, 65536, (8, 3, 4), dtype=np.uint16),
+            rng.integers(0, 256, (10, 11, 2), dtype=np.uint8),  # grey+alpha
+        ]
+        for px in cases:
+            for interlace in (False, True):
+                got = png_decode(png_encode(px, interlace=interlace))
+                assert got.dtype == px.dtype and np.array_equal(got, px), (
+                    px.shape, px.dtype, interlace,
+                )
+        # odd sizes around the Adam7 pass boundaries
+        for h, w in [(1, 1), (1, 8), (8, 1), (2, 3), (5, 5), (9, 16)]:
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            got = png_decode(png_encode(px, interlace=True))
+            assert np.array_equal(got, px), (h, w)
 
     def test_png_roundtrip_property(self):
         """Any uint8 RGB array survives encode->decode bit-exactly —
@@ -264,8 +360,9 @@ class TestJpegCodec:
         for shape in ((14, 19), (17, 21, 3), (8, 8), (9, 25, 3)):
             px = rng.integers(0, 256, size=shape, dtype=np.uint8)
             enc = jpeg_encode(px)
-            h, w, blocks, quants = jpeg_decode_coeffs(enc)
+            h, w, blocks, quants, samps = jpeg_decode_coeffs(enc)
             assert (h, w) == shape[:2]
+            assert all(s == (1, 1) for s in samps)
             if px.ndim == 2:
                 planes = [px.astype(np.float64)]
             else:
@@ -318,6 +415,82 @@ class TestJpegCodec:
             assert (jpeg_decode(jpeg_encode(v))[:, :, 0] == v).all()
             rgb = np.repeat(v[:, :, None], 3, axis=2)
             assert (jpeg_decode(jpeg_encode(rgb)) == rgb).all()
+
+    def test_jpeg_subsampled_coefficients_bit_exact(self):
+        """4:2:0 / 4:2:2 scans: the decoder's parsed blocks equal the
+        encoder's quantized coefficients exactly per component — MCU
+        interleave (vs*hs luma blocks + 1 per chroma, T.81 A.2.3),
+        MCU-padded grids, and the box-mean chroma downsample all on the
+        compared path; SOF sampling factors parse back correctly."""
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            _Q_FLAT8,
+            _chroma_downsample,
+            _component_blocks,
+            jpeg_decode_coeffs,
+            jpeg_encode,
+        )
+
+        rng = np.random.default_rng(23)
+        for sub, (hs, vs) in (("420", (2, 2)), ("422", (2, 1))):
+            for shape in ((16, 16, 3), (17, 21, 3), (9, 40, 3)):
+                px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+                enc = jpeg_encode(px, subsampling=sub)
+                h, w, blocks, quants, samps = jpeg_decode_coeffs(enc)
+                assert (h, w) == shape[:2]
+                assert samps == [(hs, vs), (1, 1), (1, 1)]
+                r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+                y = np.clip(np.rint(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+                cb = np.clip(np.rint(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0), 0, 255)
+                cr = np.clip(np.rint(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0), 0, 255)
+                want = [
+                    _component_blocks(y, _Q_FLAT8, (vs, hs)),
+                    _component_blocks(_chroma_downsample(cb, hs, vs), _Q_FLAT8),
+                    _component_blocks(_chroma_downsample(cr, hs, vs), _Q_FLAT8),
+                ]
+                for ci in range(3):
+                    assert np.array_equal(blocks[ci], want[ci]), (sub, shape, ci)
+
+    def test_jpeg_subsampled_flat_cells_exact(self):
+        """Grey-valued RGB in flat 16x16 cells decodes EXACTLY under
+        4:2:0 and 4:2:2 (flat cells survive box downsample, DC-only
+        blocks divide flat-8 exactly, Cb=Cr=128 exactly for r=g=b) —
+        the closed form q96's DuckDB oracle computes."""
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            jpeg_decode,
+            jpeg_encode,
+        )
+
+        for did in (0, 1, 5, 10):
+            w, h = 21 + did % 7, 17 + did % 5
+            cx = (np.arange(w) // 16)[None, :]
+            cy = (np.arange(h) // 16)[:, None]
+            v = (28 + (31 * did + 7 * cx + 13 * cy) % 199).astype(np.uint8)
+            rgb = np.repeat(v[:, :, None], 3, axis=2)
+            for sub in ("420", "422", "444"):
+                back = jpeg_decode(jpeg_encode(rgb, subsampling=sub))
+                assert np.array_equal(back, rgb), (did, sub)
+
+    def test_jpeg_subsampled_lossy_bounded(self):
+        """Smooth-gradient content stays within a loose quantization +
+        chroma-resolution envelope under 4:2:0."""
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            jpeg_decode,
+            jpeg_encode,
+        )
+
+        yy = np.arange(24)[:, None, None]
+        xx = np.arange(30)[None, :, None]
+        cc = np.arange(3)[None, None, :]
+        rgb = (96 + yy * 2 + xx + cc * 8).astype(np.uint8)
+        back = jpeg_decode(jpeg_encode(rgb, subsampling="420"))
+        assert back.shape == rgb.shape
+        assert int(np.abs(back.astype(int) - rgb.astype(int)).max()) <= 24
 
     def test_jpeg_roundtrip_property(self):
         """Property sweep: any uint8 image (grey or RGB) encodes to a
