@@ -5,18 +5,20 @@ opaque binary + typed metadata, with decode as a pandas-UDF kernel.  The
 container ships no PIL/ffmpeg, so these decoders make the decode seam
 REAL for the formats that need nothing beyond ``zlib``/``struct``/numpy:
 
-- PNG (RFC 2083): 8- and 16-bit greyscale / grey+alpha / RGB / RGBA,
-  8-bit palette (PLTE, optional tRNS), Adam7 interlacing, all five
-  scanline filter types (None/Sub/Up/Average/Paeth).  Sub-byte depths
-  (1/2/4-bit) raise NotImplementedError (the remaining documented seam
-  for a full codec).
+- PNG (RFC 2083): 1/2/4/8/16-bit greyscale, 8/16-bit grey+alpha / RGB
+  / RGBA, 1/2/4/8-bit palette (PLTE, optional tRNS), Adam7
+  interlacing, all five scanline filter types
+  (None/Sub/Up/Average/Paeth).  Sub-byte greyscale/palette samples are
+  returned RAW (0..2^d-1, no scaling to 8-bit) — greyscale scaling is
+  the consumer's choice; palette indices feed the PLTE lookup exactly.
 - WAV (RIFF): PCM 16-bit little-endian, any channel count/rate.
 - JPEG (ITU-T T.81 baseline sequential): 8-bit, greyscale or YCbCr at
   4:4:4 / 4:2:2 / 4:2:0 chroma sampling (MCU-interleaved scan; box-mean
   chroma downsample on encode, replication upsample on decode),
-  canonical Annex K huffman tables, byte stuffing, zigzag, DC
-  prediction, real float DCT/IDCT.  Progressive, restart intervals,
-  and 16-bit quant tables raise NotImplementedError.
+  restart intervals (DRI/RSTn with DC-prediction reset), canonical
+  Annex K huffman tables, byte stuffing, zigzag, DC prediction, real
+  float DCT/IDCT.  Progressive and 16-bit quant tables raise
+  NotImplementedError (the remaining documented seams).
 
 Encoders exist so tests and datagen can synthesize REAL files
 deterministically (PNG rows cycle all 5 filter types; JPEG emits a real
@@ -90,6 +92,24 @@ def _filter_lines(rows: np.ndarray, bpp: int, f0: int = 0) -> bytearray:
     return raw
 
 
+def _pack_bits(vals: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w) uint8 sub-byte samples -> (h, ceil(w*depth/8)) packed
+    scanline bytes, MSB-first within each byte (PNG spec 7.2; the last
+    byte of a scanline is zero-padded on the right)."""
+    h, w = vals.shape
+    shifts = np.arange(depth - 1, -1, -1, dtype=np.uint8)
+    bits = ((vals[:, :, None] >> shifts) & 1).reshape(h, w * depth)
+    return np.packbits(bits, axis=1)  # pads the tail bits with zeros
+
+
+def _unpack_bits(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(h, stride) packed scanline bytes -> (h, w) uint8 samples."""
+    h = rows.shape[0]
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth].reshape(h, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits * weights).sum(axis=2).astype(np.uint8)
+
+
 def _byte_rows(px: np.ndarray) -> tuple[np.ndarray, int, int]:
     """(h, w, c) uint8/uint16 pixels -> ((h, w, bypp) big-endian sample
     bytes, depth, bytes-per-pixel)."""
@@ -101,10 +121,31 @@ def _byte_rows(px: np.ndarray) -> tuple[np.ndarray, int, int]:
     return px.astype(np.uint8).reshape(h, w, ch), 8, ch
 
 
-def png_encode(pixels: np.ndarray, interlace: bool = False) -> bytes:
+def _subbyte_idat(px: np.ndarray, depth: int, interlace: bool) -> bytearray:
+    """Filtered IDAT payload for sub-byte (1/2/4-bit) single-channel
+    samples: each scanline packs to ceil(w*depth/8) bytes and filters
+    with bpp=1 (PNG spec 9.2: filters act on bytes, not samples)."""
+    if not interlace:
+        return _filter_lines(_pack_bits(px, depth), 1)
+    raw = bytearray()
+    f0 = 0
+    for x0, y0, dx, dy in _ADAM7:
+        sub = px[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        raw.extend(_filter_lines(_pack_bits(sub, depth), 1, f0))
+        f0 += sub.shape[0]
+    return raw
+
+
+def png_encode(
+    pixels: np.ndarray, interlace: bool = False, depth: int | None = None
+) -> bytes:
     """(h, w) or (h, w, c) uint8 (8-bit) or uint16 (16-bit) -> PNG
-    bytes, optionally Adam7-interlaced.  Filter types cycle across
-    scanlines (continuing across interlace passes)."""
+    bytes, optionally Adam7-interlaced.  ``depth`` of 1/2/4 packs
+    single-channel greyscale samples sub-byte (values must fit the
+    depth).  Filter types cycle across scanlines (continuing across
+    interlace passes)."""
     px = np.asarray(pixels)
     if px.dtype not in (np.uint8, np.uint16):
         px = px.astype(np.uint8)
@@ -113,6 +154,21 @@ def png_encode(pixels: np.ndarray, interlace: bool = False) -> bytes:
     h, w, ch = px.shape
     if ch not in _COLOR_TYPE:
         raise NotImplementedError(f"png_encode: {ch} channels unsupported")
+    if depth in (1, 2, 4):
+        if ch != 1 or px.dtype != np.uint8:
+            raise ValueError("sub-byte depth needs single-channel uint8")
+        if int(px.max(initial=0)) >= (1 << depth):
+            raise ValueError(f"sample out of range for depth {depth}")
+        ihdr = struct.pack(
+            ">IIBBBBB", w, h, depth, 0, 0, 0, 1 if interlace else 0
+        )
+        raw = _subbyte_idat(px.reshape(h, w), depth, interlace)
+        return (
+            PNG_MAGIC
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
     rows, depth, bypp = _byte_rows(px)
     ihdr = struct.pack(
         ">IIBBBBB", w, h, depth, _COLOR_TYPE[ch], 0, 0, 1 if interlace else 0
@@ -142,25 +198,30 @@ def png_encode_palette(
     palette: np.ndarray,
     trns: np.ndarray | None = None,
     interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
     """(h, w) uint8 palette indices + (n, 3) uint8 palette (+ optional
-    (m,) uint8 per-entry alpha) -> color-type-3 PNG bytes."""
+    (m,) uint8 per-entry alpha) -> color-type-3 PNG bytes; ``depth`` of
+    1/2/4 packs the indices sub-byte."""
     idx = np.asarray(indices, np.uint8)
     pal = np.asarray(palette, np.uint8)
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette depth {depth}")
     if pal.ndim != 2 or pal.shape[1] != 3 or not (1 <= pal.shape[0] <= 256):
         raise ValueError("palette must be (n, 3) uint8, 1 <= n <= 256")
-    if idx.max(initial=0) >= pal.shape[0]:
+    if int(idx.max(initial=0)) >= min(pal.shape[0], 1 << depth):
         raise ValueError("palette index out of range")
     h, w = idx.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 1 if interlace else 0)
-    rows = idx.reshape(h, w, 1)
-    if not interlace:
-        raw = _filter_lines(rows.reshape(h, w), 1)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 1 if interlace else 0)
+    if depth != 8:
+        raw = _subbyte_idat(idx, depth, interlace)
+    elif not interlace:
+        raw = _filter_lines(idx.reshape(h, w), 1)
     else:
         raw = bytearray()
         f0 = 0
         for x0, y0, dx, dy in _ADAM7:
-            sub = rows[y0::dy, x0::dx]
+            sub = idx[y0::dy, x0::dx]
             ph, pw = sub.shape[0], sub.shape[1]
             if ph == 0 or pw == 0:
                 continue
@@ -211,11 +272,13 @@ def _unfilter(raw: bytes, h: int, stride: int, bpp: int, off: int) -> np.ndarray
 
 
 def png_decode(payload: bytes) -> np.ndarray:
-    """PNG bytes -> (h, w, channels) uint8 or uint16.  8/16-bit
-    grey / grey+alpha / RGB / RGBA, 8-bit palette (PLTE + optional
-    tRNS -> RGB/RGBA), Adam7 interlacing, every scanline filter type.
-    Palette output is uint8 RGB, or RGBA when tRNS is present; other
-    color types return the file's own channel count at its own depth."""
+    """PNG bytes -> (h, w, channels) uint8 or uint16.  1/2/4/8/16-bit
+    grey, 8/16-bit grey+alpha / RGB / RGBA, 1/2/4/8-bit palette (PLTE +
+    optional tRNS -> RGB/RGBA), Adam7 interlacing, every scanline
+    filter type.  Palette output is uint8 RGB, or RGBA when tRNS is
+    present; other color types return the file's own channel count at
+    its own depth — sub-byte greyscale comes back RAW (0..2^d-1,
+    unscaled)."""
     if payload[:8] != PNG_MAGIC:
         raise ValueError("not a PNG: bad signature")
     pos = 8
@@ -237,8 +300,11 @@ def png_decode(payload: bytes) -> np.ndarray:
             )
             if color not in _CHANNELS:
                 raise NotImplementedError(f"png_decode: color type {color}")
-            if depth not in (8, 16) or (color == 3 and depth != 8):
-                raise NotImplementedError(f"png_decode: bit depth {depth}")
+            ok = depth in (8, 16) or (depth in (1, 2, 4) and color in (0, 3))
+            if not ok or (color == 3 and depth == 16):
+                raise NotImplementedError(
+                    f"png_decode: bit depth {depth} for color type {color}"
+                )
             ch = _CHANNELS[color]
         elif tag == b"PLTE":
             plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
@@ -252,14 +318,38 @@ def png_decode(payload: bytes) -> np.ndarray:
         raise ValueError("not a PNG: missing IHDR")
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
-    bypp = ch * (depth // 8)
     raw = zlib.decompress(bytes(idat))
-    if not interlace:
+    if depth in (1, 2, 4):  # single-channel sub-byte: unfilter packed
+        if not interlace:  # bytes (bpp=1), then unpack samples
+            stride = -(-w * depth // 8)
+            if len(raw) != h * (stride + 1):
+                raise ValueError("PNG data length mismatch")
+            rows = _unpack_bits(_unfilter(raw, h, stride, 1, 0), w, depth)
+        else:
+            rows = np.zeros((h, w), np.uint8)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                stride = -(-pw * depth // 8)
+                rows[y0::dy, x0::dx] = _unpack_bits(
+                    _unfilter(raw, ph, stride, 1, off), pw, depth
+                )
+                off += ph * (stride + 1)
+            if off != len(raw):
+                raise ValueError("PNG data length mismatch")
+        rows = rows.reshape(h, w, 1)
+        bypp = 1
+    elif not interlace:
+        bypp = ch * (depth // 8)
         stride = w * bypp
         if len(raw) != h * (stride + 1):
             raise ValueError("PNG data length mismatch")
         rows = _unfilter(raw, h, stride, bypp, 0).reshape(h, w, bypp)
     else:  # Adam7: 7 independently-filtered sub-images, scattered back
+        bypp = ch * (depth // 8)
         rows = np.zeros((h, w, bypp), np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
@@ -346,9 +436,9 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
 #
 # Scope (documented seam boundaries, like PNG's): baseline sequential
 # DCT, 8-bit, 1 component (greyscale) or 3 components YCbCr at 4:4:4 /
-# 4:2:2 / 4:2:0 sampling, interleaved single scan, standard Annex K
-# huffman tables.  Progressive (SOF2), extended/lossless SOFs,
-# restart intervals (DRI), and 16-bit quant tables raise
+# 4:2:2 / 4:2:0 sampling, interleaved single scan, restart intervals
+# (DRI/RSTn), standard Annex K huffman tables.  Progressive (SOF2),
+# extended/lossless SOFs, and 16-bit quant tables raise
 # NotImplementedError.  The encoder exists so tests/datagen synthesize
 # REAL bitstreams deterministically (headers, canonical huffman,
 # byte-stuffing, zigzag, DC prediction all on the hash path).
@@ -458,9 +548,22 @@ class _BitWriter:
             self.n -= 8
         self.acc &= (1 << self.n) - 1
 
-    def flush(self) -> bytes:
+    def pad(self) -> None:
+        """Pad the partial byte with 1-bits (T.81 F.1.2.3 / before a
+        restart marker, B.2.1.2).  Exactly 8-n bits: the historical
+        ``7 - ((n-1) % 8) + 1`` padded 9-n, leaving a stray bit in the
+        accumulator — harmless at flush (dropped) but corrupting for
+        anything written after the pad."""
         if self.n:
-            self.put(0x7F, 7 - ((self.n - 1) % 8) + 1)  # pad with 1-bits
+            self.put(0x7F, 8 - self.n)
+
+    def restart(self, m: int) -> None:
+        """Byte-align and emit RSTm; markers are never byte-stuffed."""
+        self.pad()
+        self.buf += bytes([0xFF, 0xD0 + (m & 7)])
+
+    def flush(self) -> bytes:
+        self.pad()
         return bytes(self.buf)
 
 
@@ -543,11 +646,14 @@ def jpeg_encode(
     quant_luma: np.ndarray | None = None,
     quant_chroma: np.ndarray | None = None,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w) grey or (h, w, 3) RGB uint8 -> baseline JPEG bytes
     (Annex K huffman tables, flat-8 quant by default; ``subsampling``
     picks the chroma layout: '444', '422', or '420' — the 4:4:4 scan
-    is byte-identical to the pre-subsampling encoder)."""
+    is byte-identical to the pre-subsampling encoder).  A positive
+    ``restart_interval`` emits a DRI segment and an RSTn marker (with
+    byte-align padding and DC-prediction reset) every that many MCUs."""
     px = np.asarray(pixels, np.uint8)
     grey = px.ndim == 2
     if not grey and px.shape[2] != 3:
@@ -595,6 +701,9 @@ def jpeg_encode(
     for tcth, (bits, vals) in tables:
         body = bytes([tcth]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    # DRI (B.2.4.4) — restart every `restart_interval` MCUs
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     sos = bytes([ncomp])
     for ci in range(ncomp):
@@ -610,8 +719,13 @@ def jpeg_encode(
     mcux = comps[0].shape[1] // hs
     bwriter = _BitWriter()
     prev = [0] * ncomp
+    mcu_n = 0
     for by in range(mcuy):
         for bx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                bwriter.restart(mcu_n // restart_interval - 1)
+                prev = [0] * ncomp
+            mcu_n += 1
             for v in range(vs):
                 for hh in range(hs):
                     prev[0] = _encode_block(
@@ -677,6 +791,7 @@ def jpeg_decode_coeffs(payload: bytes):
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
+    ri = 0  # restart interval in MCUs (0 = none)
     h = w = None
     comps: list[tuple[int, int, int]] = []  # (id, tq, sampling)
     scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
@@ -723,7 +838,7 @@ def jpeg_decode_coeffs(payload: bytes):
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"jpeg_decode: SOF marker 0xFF{m:02X} (baseline SOF0 only)")
         elif m == 0xDD:  # DRI
-            raise NotImplementedError("jpeg_decode: restart intervals")
+            (ri,) = struct.unpack(">H", body[:2])
         elif m == 0xDA:  # SOS
             ns = body[0]
             for si in range(ns):
@@ -735,7 +850,9 @@ def jpeg_decode_coeffs(payload: bytes):
         # APPn / COM / others: skipped
     if h is None or data_start is None:
         raise ValueError("JPEG: missing SOF0/SOS")
-    # unstuff entropy data up to EOI
+    # unstuff entropy data up to EOI; RSTn markers split it into
+    # independently bit-aligned segments (E.2.4)
+    segments: list[bytes] = []
     raw = bytearray()
     p = data_start
     while p < len(payload):
@@ -747,11 +864,16 @@ def jpeg_decode_coeffs(payload: bytes):
                 p += 2
                 continue
             if 0xD0 <= nxt <= 0xD7:
-                raise NotImplementedError("jpeg_decode: restart markers")
+                segments.append(bytes(raw))
+                raw = bytearray()
+                p += 2
+                continue
             break  # EOI or next marker
         raw.append(b)
         p += 1
-    br = _BitReader(bytes(raw))
+    segments.append(bytes(raw))
+    seg_i = 0
+    br = _BitReader(segments[0])
     samps = [(c[2] >> 4, c[2] & 0xF) for c in comps]
     hmax = max(s[0] for s in samps)
     vmax = max(s[1] for s in samps)
@@ -784,8 +906,16 @@ def jpeg_decode_coeffs(payload: bytes):
             zz[k] = _extend(br.bits(size), size)
             k += 1
 
+    mcu_n = 0
     for by in range(mcuy):
         for bx in range(mcux):
+            if ri and mcu_n and mcu_n % ri == 0:
+                seg_i += 1  # next restart segment: realign + reset DC
+                if seg_i >= len(segments):
+                    raise ValueError("JPEG: missing restart segment")
+                br = _BitReader(segments[seg_i])
+                prev = [0] * len(comps)
+            mcu_n += 1
             for idx, tdc, tac in scan:
                 hi, vi = samps[idx]
                 for v in range(vi):

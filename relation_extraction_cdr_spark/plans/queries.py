@@ -4930,3 +4930,141 @@ def q95(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "q96_codec_edges",
+    """
+    WITH ids AS (SELECT CAST(range AS BIGINT) AS id FROM range(0, 24)),
+    dims AS (SELECT id, id % 4 AS v,
+                    CAST(CASE WHEN id % 4 = 3 THEN 21 + id % 7
+                              ELSE 19 + id % 5 END AS INT) AS w,
+                    CAST(CASE WHEN id % 4 = 3 THEN 17 + id % 5
+                              ELSE 9 + id % 3 END AS INT) AS h FROM ids),
+    xs AS (SELECT CAST(range AS BIGINT) AS x FROM range(0, 28)),
+    ys AS (SELECT CAST(range AS BIGINT) AS y FROM range(0, 22)),
+    cs AS (SELECT UNNEST([0, 1, 2, 3]) AS c),
+    cells AS (
+      SELECT d.id, d.v, d.w, d.h, cs.c,
+        SUM(CASE
+          WHEN d.v = 0 AND cs.c = 0 THEN (xs.x + ys.y + d.id) % 2
+          WHEN d.v = 1 AND cs.c = 0 THEN (3 * xs.x + 5 * ys.y + d.id) % 16
+          WHEN d.v = 2 AND cs.c < 3
+            THEN (5 * ((d.id + 3 * xs.x + 5 * ys.y) % 16)
+                  + 11 * cs.c + d.id) % 256
+          WHEN d.v = 2
+            THEN CASE WHEN ((d.id + 3 * xs.x + 5 * ys.y) % 16) < 8
+              THEN (7 * ((d.id + 3 * xs.x + 5 * ys.y) % 16)) % 256
+              ELSE 255 END
+          WHEN d.v = 3 AND cs.c < 3
+            THEN 28 + (31 * d.id + 7 * (xs.x // 16) + 13 * (ys.y // 16)) % 199
+          ELSE 0 END) AS s
+      FROM dims d
+      JOIN xs ON xs.x < d.w
+      JOIN ys ON ys.y < d.h
+      CROSS JOIN cs
+      GROUP BY 1, 2, 3, 4, 5)
+    SELECT id AS media_id,
+           CASE v WHEN 0 THEN 'grey1' WHEN 1 THEN 'grey4'
+                  WHEN 2 THEN 'palette4' ELSE 'jpeg420_rst' END AS variant,
+           w AS width, h AS height,
+           CAST(CASE v WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 4
+                       ELSE 3 END AS INT) AS channels,
+           CAST(MAX(CASE WHEN c = 0 THEN s END) AS BIGINT) AS sum_c0,
+           CAST(MAX(CASE WHEN c = 1 THEN s END) AS BIGINT) AS sum_c1,
+           CAST(MAX(CASE WHEN c = 2 THEN s END) AS BIGINT) AS sum_c2,
+           CAST(MAX(CASE WHEN c = 3 THEN s END) AS BIGINT) AS sum_c3
+    FROM cells GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def q96(spark, sf_dir):
+    """REAL decode across the codec EDGE surface, VALUE-ORACLED (the
+    q95 pattern): per image a variant by id % 4 —
+      0 'grey1'       1-bit greyscale (scanlines pack 8 samples/byte;
+                      w=19..23 forces a right-padded final byte)
+      1 'grey4'       4-bit greyscale (raw unscaled samples)
+      2 'palette4'    4-bit palette indices + PLTE + short tRNS -> RGBA
+      3 'jpeg420_rst' baseline JPEG, 4:2:0 chroma subsampling AND
+                      restart_interval=1 (DRI + RSTn markers, DC reset
+                      per MCU); grey-valued flat 16x16 cells make the
+                      lossy path exact end-to-end (box downsample of a
+                      flat cell is flat; DC-only blocks divide the
+                      flat-8 quant exactly; Cb=Cr=128 for r=g=b)
+    The Spark side round-trips REAL bytes through functions/codecs.py;
+    the DuckDB oracle computes the same per-channel sums straight from
+    the closed modular forms.  Any bug in MSB-first bit packing,
+    sub-byte palette lookup, restart-segment bit realignment, or the
+    DC-prediction reset breaks the hash.  Scale shape: embarrassingly
+    parallel mapInPandas, no shuffle before the dimension-bounded
+    projection."""
+    import pandas as pd  # noqa: F811
+
+    def run(batches):
+        import numpy as np
+
+        from ..functions.codecs import (
+            jpeg_decode,
+            jpeg_encode,
+            png_decode,
+            png_encode,
+            png_encode_palette,
+        )
+
+        names = {0: "grey1", 1: "grey4", 2: "palette4", 3: "jpeg420_rst"}
+        cols = ["media_id", "variant", "width", "height", "channels",
+                "sum_c0", "sum_c1", "sum_c2", "sum_c3"]
+        for pdf in batches:
+            out = []
+            for did in pdf["id"]:
+                did = int(did)
+                v = did % 4
+                if v == 3:
+                    w, h = 21 + did % 7, 17 + did % 5
+                else:
+                    w, h = 19 + did % 5, 9 + did % 3
+                xx = np.arange(w)[None, :]
+                yy = np.arange(h)[:, None]
+                if v == 0:
+                    px = ((xx + yy + did) % 2).astype(np.uint8)
+                    blob = png_encode(px, depth=1)
+                    back = png_decode(blob)
+                elif v == 1:
+                    px = ((3 * xx + 5 * yy + did) % 16).astype(np.uint8)
+                    blob = png_encode(px, depth=4)
+                    back = png_decode(blob)
+                elif v == 2:
+                    idx = ((did + 3 * xx + 5 * yy) % 16).astype(np.uint8)
+                    j = np.arange(16)[:, None]
+                    pal = ((5 * j + 11 * np.arange(3)[None, :] + did) % 256).astype(np.uint8)
+                    trns = ((7 * np.arange(8)) % 256).astype(np.uint8)
+                    blob = png_encode_palette(idx, pal, trns=trns, depth=4)
+                    back = png_decode(blob)
+                else:
+                    val = (28 + (31 * did + 7 * (xx // 16) + 13 * (yy // 16)) % 199).astype(np.uint8)
+                    rgb = np.repeat(val[:, :, None], 3, axis=2)
+                    blob = jpeg_encode(rgb, subsampling="420", restart_interval=1)
+                    back = jpeg_decode(blob)
+                bh, bw, ch = back.shape
+                sums = back.reshape(-1, ch).astype(np.int64).sum(axis=0)
+                out.append(
+                    {"media_id": did, "variant": names[v],
+                     "width": bw, "height": bh, "channels": ch,
+                     "sum_c0": int(sums[0]),
+                     "sum_c1": int(sums[1]) if ch > 1 else 0,
+                     "sum_c2": int(sums[2]) if ch > 2 else 0,
+                     "sum_c3": int(sums[3]) if ch > 3 else 0}
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return (
+        spark.range(0, 24)
+        .repartition(8)
+        .mapInPandas(
+            run,
+            schema=(
+                "media_id long, variant string, width int, height int, "
+                "channels int, sum_c0 long, sum_c1 long, sum_c2 long, "
+                "sum_c3 long"
+            ),
+        )
+    )

@@ -127,12 +127,13 @@ class TestCodecs:
                 + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
             )
 
-        # sub-byte depths stay the documented seam
-        ihdr4 = struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)
-        blob = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr4)
+        # sub-byte depths only pair with grey/palette (spec table 11.1
+        # allows no others; the decoder pins the boundary explicitly)
+        ihdr4rgb = struct.pack(">IIBBBBB", 1, 1, 4, 2, 0, 0, 0)
+        blob = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr4rgb)
         with pytest.raises(NotImplementedError):
             png_decode(blob)
-        # palette is 8-bit-only per spec support here
+        # palette caps at 8-bit indices
         ihdr_p16 = struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0)
         with pytest.raises(NotImplementedError):
             png_decode(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_p16))
@@ -175,6 +176,93 @@ class TestCodecs:
         assert np.array_equal(
             png_decode(blob), np.array(v, np.uint8)[:, :, None]
         )
+
+    def test_png_subbyte_pinned(self):
+        """Hand-constructed 1-bit and 4-bit greyscale PNGs (filter 0,
+        scanlines packed by hand per spec 7.2: MSB-first, last byte
+        right-padded) decode to the pinned grids — pins the bit
+        unpacking against the spec, not against our encoder."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import png_decode
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        def blob(w, h, depth, color, raw, extra=b""):
+            ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + extra
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+            )
+
+        # 1-bit 10x2: row0 = 1010101010 -> 0xAA 0x80; row1 = 0110011001
+        # -> 0x66 0x40 (6 pad bits zeroed on the right)
+        raw1 = bytes([0, 0xAA, 0x80, 0, 0x66, 0x40])
+        got = png_decode(blob(10, 2, 1, 0, raw1))
+        exp = np.array(
+            [[1, 0, 1, 0, 1, 0, 1, 0, 1, 0], [0, 1, 1, 0, 0, 1, 1, 0, 0, 1]],
+            np.uint8,
+        )[:, :, None]
+        assert np.array_equal(got, exp)
+        # 4-bit 3x1: samples 0xA, 0x5, 0xC -> bytes 0xA5 0xC0
+        got4 = png_decode(blob(3, 1, 4, 0, bytes([0, 0xA5, 0xC0])))
+        assert np.array_equal(got4, np.array([[0xA, 0x5, 0xC]], np.uint8)[:, :, None])
+        # 2-bit 4x1 palette: indices 3,0,2,1 -> byte 0b11001001
+        pal = bytes([10, 11, 12, 40, 41, 42, 70, 71, 72, 100, 101, 102])
+        gotp = png_decode(
+            blob(4, 1, 2, 3, bytes([0, 0b11001001]), extra=chunk(b"PLTE", pal))
+        )
+        assert np.array_equal(
+            gotp,
+            np.array(
+                [[[100, 101, 102], [10, 11, 12], [70, 71, 72], [40, 41, 42]]],
+                np.uint8,
+            ),
+        )
+
+    def test_png_subbyte_roundtrip(self):
+        """Encoder<->decoder round-trips at depths 1/2/4 (grey and
+        palette, plain and Adam7) with widths that cross byte
+        boundaries, plus all five filter types via the cycling
+        encoder."""
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            png_decode,
+            png_encode,
+            png_encode_palette,
+        )
+
+        rng = np.random.default_rng(41)
+        for d in (1, 2, 4):
+            for w, h in ((19, 11), (8, 6), (1, 3), (23, 7)):
+                px = rng.integers(0, 1 << d, (h, w)).astype(np.uint8)
+                for il in (False, True):
+                    back = png_decode(png_encode(px, interlace=il, depth=d))
+                    assert back.shape == (h, w, 1)
+                    assert (back[:, :, 0] == px).all(), (d, w, h, il)
+            n = 1 << d
+            pal = rng.integers(0, 256, (n, 3)).astype(np.uint8)
+            idx = rng.integers(0, n, (9, 17)).astype(np.uint8)
+            trns = rng.integers(0, 256, max(1, n // 2)).astype(np.uint8)
+            exp_a = np.full(n, 255, np.uint8)
+            exp_a[: len(trns)] = trns
+            for il in (False, True):
+                back = png_decode(
+                    png_encode_palette(idx, pal, trns=trns, interlace=il, depth=d)
+                )
+                assert back.shape == (9, 17, 4)
+                assert (back[:, :, :3] == pal[idx]).all()
+                assert (back[:, :, 3] == exp_a[idx]).all(), (d, il)
+        with pytest.raises(ValueError):  # sample out of range for depth
+            png_encode(np.full((2, 2), 4, np.uint8), depth=2)
 
     def test_png_palette_roundtrip(self):
         """Palette encode -> decode == palette lookup; tRNS adds the
@@ -474,6 +562,54 @@ class TestJpegCodec:
                 back = jpeg_decode(jpeg_encode(rgb, subsampling=sub))
                 assert np.array_equal(back, rgb), (did, sub)
 
+    def test_jpeg_restart_intervals(self):
+        """DRI/RSTn: a restart-interval stream carries the DRI segment,
+        byte-aligned RSTn markers cycling D0..D7, and decodes to
+        coefficients IDENTICAL to the no-restart stream (DC prediction
+        reset at each marker on both sides)."""
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            jpeg_decode,
+            jpeg_decode_coeffs,
+            jpeg_encode,
+        )
+
+        rng = np.random.default_rng(43)
+        for shape, sub in (
+            ((24, 40), "444"),
+            ((24, 40, 3), "420"),
+            ((17, 29, 3), "422"),
+            ((80, 16), "444"),  # >8 restarts: marker modulo-8 cycle
+        ):
+            px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            plain = jpeg_encode(px, subsampling=sub)
+            for ri in (1, 2, 3):
+                enc = jpeg_encode(px, subsampling=sub, restart_interval=ri)
+                assert b"\xff\xdd" in enc
+                blocks_p = jpeg_decode_coeffs(plain)[2]
+                blocks_r = jpeg_decode_coeffs(enc)[2]
+                for a, b in zip(blocks_p, blocks_r):
+                    assert np.array_equal(a, b), (shape, sub, ri)
+                assert np.array_equal(jpeg_decode(plain), jpeg_decode(enc))
+        # marker cycle D0..D7,D0,... pinned on the 10-MCU-per-restart
+        # column image: 80x16 grey at ri=1 -> 19 markers
+        enc = jpeg_encode(
+            rng.integers(0, 256, size=(80, 16), dtype=np.uint8),
+            restart_interval=1,
+        )
+        sos = enc.find(b"\xff\xda")
+        markers = []
+        p = sos + 2
+        while p < len(enc) - 1:
+            if enc[p] == 0xFF and 0xD0 <= enc[p + 1] <= 0xD7:
+                markers.append(enc[p + 1] - 0xD0)
+                p += 2
+                continue
+            p += 1
+        assert len(markers) == 19  # 20 MCUs, marker between each pair
+        assert markers == [i % 8 for i in range(19)]
+
     def test_jpeg_subsampled_lossy_bounded(self):
         """Smooth-gradient content stays within a loose quantization +
         chroma-resolution envelope under 4:2:0."""
@@ -539,11 +675,11 @@ class TestJpegCodec:
         enc2 = bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2 :])
         with pytest.raises(NotImplementedError):
             jpeg_decode(enc2)
-        # inject a DRI marker after SOI
+        # a DRI header on a stream with NO restart markers is benign
+        # (interval never reached within one segment of 1 MCU)
         dri = b"\xff\xdd" + _struct.pack(">H", 4) + _struct.pack(">H", 4)
         enc3 = bytes(enc[:2]) + dri + bytes(enc[2:])
-        with pytest.raises(NotImplementedError):
-            jpeg_decode(enc3)
+        assert np.array_equal(jpeg_decode(enc3), jpeg_decode(bytes(enc)))
         with pytest.raises(ValueError):
             jpeg_decode(b"notajpeg")
 
