@@ -35,33 +35,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # query whose implementation changed this round (q37/q90 codec dispatch,
 # PNG Sub vectorization + widened PNG variants, new q93 lifecycle + q94
 # JPEG + q95 palette/16-bit/interlaced PNG + q96 sub-byte PNG & JPEG
-# restart intervals) plus q87 for the equal-length-grouped scorer
-# batching; (c) the FULL rotation slice of queries last driver-checked
-# in r02 — two rounds stale — q01-q23, q25, q27, q31-q36, q39, q42-q47,
-# q49-q50 (40 queries), restoring their gate coverage.  The OTHER
-# round-4-changed queries are rows-only by design (q86/q88/q91
-# training/NER loops and q89, which shares q87's grouped batching code
-# path), so a driver row adds only rows>0 over the pytest bit-exactness
-# pins (test_train layout-independence, test_ner, the scorer
-# batched-bit-identical test) — they and q28-q30/q40/q48/q51-q86/q92
-# rest on green r03 driver rows plus pytest; q90 (r03-green) yields its
-# window slot to q96, whose in-window paths are a strict superset of
-# q90's unfilter/bit-layout kernels (q90 stays pinned by
-# test_png_known_bytes + the roundtrip property suite); the trained
-# lifecycle is value-gated in-window via q93.  Everything not listed
-# still runs (appended in registry order).
+# restart intervals + q97 progressive JPEG); (c) the FULL rotation
+# slice of queries last driver-checked in r02 — two rounds stale —
+# q01-q23, q25, q27, q31-q36, q39, q42-q47, q49-q50 (40 queries),
+# restoring their gate coverage.  The OTHER round-4-changed queries are
+# rows-only by design (q86/q88/q91 training/NER loops and q87/q89 — the
+# grouped scorer batching), so a driver row adds only rows>0 over the
+# pytest bit-exactness pins (test_train layout-independence, test_ner,
+# the scorer batched-bit-identical tests) — they and q28-q30/q40/q48/
+# q51-q86/q92 rest on green r03 driver rows plus pytest; q90
+# (r03-green) yields its window slot to q96, whose in-window paths are
+# a strict superset of q90's unfilter/bit-layout kernels (q90 stays
+# pinned by test_png_known_bytes + the roundtrip property suite); the
+# trained lifecycle is value-gated in-window via q93.  Everything not
+# listed still runs (appended in registry order).
 DRIVER_WINDOW = [
     # round-3 red rows, fixed (exact ppm/e6 integer ratios)
     "q66_word_rank_quality",
     "q67_source_mixture",
     "q74_ann_recall",
     "q75_crossdoc_passages",
-    # round-4 new / implementation-changed (value-oracled, + q87)
+    # round-4 new / implementation-changed (all value-oracled)
     "q93_train_serve_lifecycle",
     "q94_jpeg_decode",
     "q95_png_variants",
     "q96_codec_edges",
-    "q87_fullsample_logits",
+    "q97_jpeg_progressive",
     "q37_multimodal_features",
     # rotation slice: last driver-checked in r02 (two rounds stale)
     "q01_pricing_summary",

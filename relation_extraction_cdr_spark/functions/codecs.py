@@ -12,12 +12,14 @@ REAL for the formats that need nothing beyond ``zlib``/``struct``/numpy:
   returned RAW (0..2^d-1, no scaling to 8-bit) — greyscale scaling is
   the consumer's choice; palette indices feed the PLTE lookup exactly.
 - WAV (RIFF): PCM 16-bit little-endian, any channel count/rate.
-- JPEG (ITU-T T.81 baseline sequential): 8-bit, greyscale or YCbCr at
-  4:4:4 / 4:2:2 / 4:2:0 chroma sampling (MCU-interleaved scan; box-mean
-  chroma downsample on encode, replication upsample on decode),
-  restart intervals (DRI/RSTn with DC-prediction reset), canonical
-  Annex K huffman tables, byte stuffing, zigzag, DC prediction, real
-  float DCT/IDCT.  Progressive and 16-bit quant tables raise
+- JPEG (ITU-T T.81): baseline sequential (SOF0) AND progressive (SOF2
+  — spectral selection + successive approximation, EOBn run-length,
+  correction bits), 8-bit, greyscale or YCbCr at 4:4:4 / 4:2:2 / 4:2:0
+  chroma sampling (MCU-interleaved scan; box-mean chroma downsample on
+  encode, replication upsample on decode), restart intervals
+  (DRI/RSTn with DC-prediction reset), canonical Annex K huffman
+  tables, byte stuffing, zigzag, DC prediction, real float DCT/IDCT.
+  Hierarchical/lossless/arithmetic SOFs and 16-bit quant tables raise
   NotImplementedError (the remaining documented seams).
 
 Encoders exist so tests and datagen can synthesize REAL files
@@ -641,20 +643,14 @@ def _component_blocks(
     return out
 
 
-def jpeg_encode(
-    pixels: np.ndarray,
-    quant_luma: np.ndarray | None = None,
-    quant_chroma: np.ndarray | None = None,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """(h, w) grey or (h, w, 3) RGB uint8 -> baseline JPEG bytes
-    (Annex K huffman tables, flat-8 quant by default; ``subsampling``
-    picks the chroma layout: '444', '422', or '420' — the 4:4:4 scan
-    is byte-identical to the pre-subsampling encoder).  A positive
-    ``restart_interval`` emits a DRI segment and an RSTn marker (with
-    byte-align padding and DC-prediction reset) every that many MCUs."""
-    px = np.asarray(pixels, np.uint8)
+def _jpeg_components(
+    px: np.ndarray,
+    quant_luma: np.ndarray | None,
+    quant_chroma: np.ndarray | None,
+    subsampling: str,
+):
+    """Shared encoder front half: pixels -> per-component quantized
+    coefficient grids (+ resolved quant tables and sampling layout)."""
     grey = px.ndim == 2
     if not grey and px.shape[2] != 3:
         raise NotImplementedError(f"jpeg_encode: {px.shape[2]} channels")
@@ -663,7 +659,6 @@ def jpeg_encode(
     hs, vs = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
     if grey:
         hs = vs = 1
-    h, w = px.shape[:2]
     ql = (_Q_FLAT8 if quant_luma is None else np.asarray(quant_luma, np.int64)).reshape(-1)
     qc = (_Q_FLAT8 if quant_chroma is None else np.asarray(quant_chroma, np.int64)).reshape(-1)
     if grey:
@@ -681,6 +676,27 @@ def jpeg_encode(
             _component_blocks(cb, qc),
             _component_blocks(cr, qc),
         ]
+    return comps, ql, qc, hs, vs, grey
+
+
+def jpeg_encode(
+    pixels: np.ndarray,
+    quant_luma: np.ndarray | None = None,
+    quant_chroma: np.ndarray | None = None,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w) grey or (h, w, 3) RGB uint8 -> baseline JPEG bytes
+    (Annex K huffman tables, flat-8 quant by default; ``subsampling``
+    picks the chroma layout: '444', '422', or '420' — the 4:4:4 scan
+    is byte-identical to the pre-subsampling encoder).  A positive
+    ``restart_interval`` emits a DRI segment and an RSTn marker (with
+    byte-align padding and DC-prediction reset) every that many MCUs."""
+    px = np.asarray(pixels, np.uint8)
+    comps, ql, qc, hs, vs, grey = _jpeg_components(
+        px, quant_luma, quant_chroma, subsampling
+    )
+    h, w = px.shape[:2]
 
     out = bytearray(b"\xff\xd8")  # SOI
     # DQT (8-bit precision)
@@ -741,6 +757,268 @@ def jpeg_encode(
     return bytes(out)
 
 
+# Progressive scans use EOBn symbols (r<<4 with s=0, r<15) that the
+# sequential Annex K AC tables don't carry, so the progressive encoder
+# ships simple uniform tables covering every possible symbol: all 256
+# byte values at 9/10 bits (canonical, never the all-ones code).
+_UNIFORM_AC = ([0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0],
+               list(range(256)))
+_UNIFORM_DC = ([0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+               list(range(12)))
+
+
+def _prog_default_scans(ncomp: int) -> list[tuple]:
+    """Complete successive-approximation scan script (libjpeg-style):
+    every band refines down to Al=0, so the final coefficients equal
+    the sequential encoder's exactly.  Entries: (comp_ids, Ss, Se, Ah,
+    Al); comp_ids=None means all components (DC scans only)."""
+    if ncomp == 1:
+        return [
+            (None, 0, 0, 0, 1),   # DC first, point-transformed
+            ([0], 1, 5, 0, 2),    # AC band 1-5 first at Al=2
+            ([0], 6, 63, 0, 2),   # AC band 6-63 first at Al=2
+            ([0], 1, 63, 2, 1),   # AC refine Al 2->1
+            (None, 0, 0, 1, 0),   # DC refine
+            ([0], 1, 63, 1, 0),   # AC refine Al 1->0
+        ]
+    return [
+        (None, 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2),
+        ([1], 1, 63, 0, 1),
+        ([2], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        (None, 0, 0, 1, 0),
+        ([0], 1, 63, 1, 0),
+        ([1], 1, 63, 1, 0),
+        ([2], 1, 63, 1, 0),
+    ]
+
+
+def _comp_block_grid(h: int, w: int, hi: int, vi: int, hmax: int, vmax: int):
+    """Non-interleaved scan geometry (T.81 A.2.2): the component's OWN
+    block grid — ceil over its scaled pixel dims, NOT the MCU grid."""
+    cw = -(-w * hi // hmax)
+    ch_ = -(-h * vi // vmax)
+    return -(-ch_ // 8), -(-cw // 8)
+
+
+class _AcRefineState:
+    """Pending EOB-run state for an AC refinement scan (the mirror of
+    T.81 G.1.2.3, two correction-bit pools like libjpeg's jcphuff):
+    ``be`` holds the correction bits of blocks ALREADY folded into the
+    pending EOB run (emitted right after the EOBn symbol); the current
+    block's bits live in a local buffer and are emitted after the next
+    in-block symbol (ZRL / newly-nonzero) — mixing the pools would make
+    the decoder read a finished block's tail bits as the next block's
+    huffman symbol."""
+
+    def __init__(self):
+        self.eobrun = 0
+        self.be: list[int] = []
+
+
+def _emit_eobrun(bw: _BitWriter, ac_codes, st) -> None:
+    """Flush a pending EOB run: EOBn symbol + extra bits, then the
+    run's buffered correction bits.  No-op when no run is pending."""
+    if st.eobrun > 0:
+        nbits = st.eobrun.bit_length() - 1
+        code, n = ac_codes[nbits << 4]
+        bw.put(code, n)
+        if nbits:
+            bw.put(st.eobrun & ((1 << nbits) - 1), nbits)
+        st.eobrun = 0
+        for b in st.be:
+            bw.put(b, 1)
+        st.be = []
+
+
+def _encode_ac_first(
+    bw: _BitWriter, zz: np.ndarray, ss: int, se: int, al: int, ac_codes, st
+) -> None:
+    """One block of an AC first scan (Ah=0): EOBn run-length across
+    blocks, point transform |v| >> Al with sign restored."""
+    r = 0
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = (abs(v) >> al)
+        vals.append(-t if v < 0 else t)
+    last_nz = -1
+    for i, t in enumerate(vals):
+        if t:
+            last_nz = i
+    if last_nz < 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            _emit_eobrun(bw, ac_codes, st)
+        return
+    _emit_eobrun(bw, ac_codes, st)
+    for i in range(last_nz + 1):
+        t = vals[i]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, n = ac_codes[0xF0]
+            bw.put(code, n)
+            r -= 16
+        size = _category(t)
+        code, n = ac_codes[(r << 4) | size]
+        bw.put(code, n)
+        bw.put(t if t >= 0 else t + (1 << size) - 1, size)
+        r = 0
+    if last_nz < len(vals) - 1:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            _emit_eobrun(bw, ac_codes, st)
+
+
+def _encode_ac_refine(
+    bw: _BitWriter, zz: np.ndarray, ss: int, se: int, al: int, ac_codes, st
+) -> None:
+    """One block of an AC refinement scan (Ah = Al+1): newly-nonzero
+    coefficients code as (r<<4)|1 + sign, history coefficients append
+    correction bits, trailing content folds into the EOB run."""
+    absvals = []
+    for k in range(ss, se + 1):
+        absvals.append(abs(int(zz[k])) >> al)
+    eob = -1
+    for i, t in enumerate(absvals):
+        if t == 1:
+            eob = i
+    r = 0
+    br: list[int] = []  # the CURRENT block's correction bits
+    for i, t in enumerate(absvals):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob:
+            _emit_eobrun(bw, ac_codes, st)
+            code, n = ac_codes[0xF0]
+            bw.put(code, n)
+            r -= 16
+            for b in br:
+                bw.put(b, 1)
+            br = []
+        if t > 1:  # history coefficient: buffered correction bit
+            br.append(t & 1)
+            continue
+        _emit_eobrun(bw, ac_codes, st)
+        code, n = ac_codes[(r << 4) | 1]
+        bw.put(code, n)
+        bw.put(0 if int(zz[ss + i]) < 0 else 1, 1)
+        for b in br:
+            bw.put(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:  # tail joins the EOB run; its bits follow the EOBn
+        st.eobrun += 1
+        st.be.extend(br)
+        if st.eobrun == 0x7FFF:
+            _emit_eobrun(bw, ac_codes, st)
+
+
+def jpeg_encode_progressive(
+    pixels: np.ndarray,
+    quant_luma: np.ndarray | None = None,
+    quant_chroma: np.ndarray | None = None,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    scans: list[tuple] | None = None,
+) -> bytes:
+    """(h, w) grey or (h, w, 3) RGB uint8 -> PROGRESSIVE JPEG bytes
+    (SOF2): spectral selection + successive approximation per the
+    default libjpeg-style scan script (or a caller ``scans`` list of
+    (comp_ids|None, Ss, Se, Ah, Al)).  The script refines every band
+    to Al=0, so the decoded coefficients are IDENTICAL to
+    ``jpeg_encode``'s for the same pixels — the parity the tests pin.
+    Restart intervals apply per scan (MCU = one block in the
+    non-interleaved AC scans)."""
+    px = np.asarray(pixels, np.uint8)
+    comps, ql, qc, hs, vs, grey = _jpeg_components(
+        px, quant_luma, quant_chroma, subsampling
+    )
+    h, w = px.shape[:2]
+    ncomp = len(comps)
+    samps = [(hs, vs) if ci == 0 else (1, 1) for ci in range(ncomp)]
+    scans = _prog_default_scans(ncomp) if scans is None else scans
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in ([(0, ql)] if grey else [(0, ql), (1, qc)]):
+        body = bytes([tq]) + bytes(int(q[_ZIGZAG[k]]) for k in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        samp = ((hs << 4) | vs) if ci == 0 else 0x11
+        sof += bytes([ci + 1, samp, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    for tcth, (bits, vals) in ((0x00, _UNIFORM_DC), (0x10, _UNIFORM_AC)):
+        body = bytes([tcth]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    dc_codes = _canonical_codes(*_UNIFORM_DC)
+    ac_codes = _canonical_codes(*_UNIFORM_AC)
+
+    mcuy = comps[0].shape[0] // vs
+    mcux = comps[0].shape[1] // hs
+    for comp_ids, ss, se, ah, al in scans:
+        ids = list(range(ncomp)) if comp_ids is None else list(comp_ids)
+        sos = bytes([len(ids)])
+        for ci in ids:
+            sos += bytes([ci + 1, 0x00])  # both tables are table 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        bw = _BitWriter()
+        st = _AcRefineState()
+        if ss == 0:  # DC scan: MCU-interleaved over all scan comps
+            prev = [0] * ncomp
+            mcu_n = 0
+            for by in range(mcuy):
+                for bx in range(mcux):
+                    if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                        bw.restart(mcu_n // restart_interval - 1)
+                        prev = [0] * ncomp
+                    mcu_n += 1
+                    for ci in ids:
+                        hi, vi = samps[ci]
+                        for v in range(vi):
+                            for hh in range(hi):
+                                dc = int(comps[ci][by * vi + v, bx * hi + hh][0])
+                                if ah == 0:  # first: diff of dc >> Al
+                                    tv = dc >> al  # arithmetic shift (F.1.4.1)
+                                    diff = tv - prev[ci]
+                                    prev[ci] = tv
+                                    size = _category(diff)
+                                    code, n = dc_codes[size]
+                                    bw.put(code, n)
+                                    if size:
+                                        bw.put(
+                                            diff if diff >= 0 else diff + (1 << size) - 1,
+                                            size,
+                                        )
+                                else:  # refinement: one raw bit
+                                    bw.put((dc >> al) & 1, 1)
+        else:  # AC scan: non-interleaved, the component's own grid
+            ci = ids[0]
+            hi, vi = samps[ci]
+            hb, wb = _comp_block_grid(h, w, hi, vi, hs, vs)
+            enc = _encode_ac_first if ah == 0 else _encode_ac_refine
+            mcu_n = 0
+            for by in range(hb):
+                for bx in range(wb):
+                    if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                        _emit_eobrun(bw, ac_codes, st)
+                        bw.restart(mcu_n // restart_interval - 1)
+                    mcu_n += 1
+                    enc(bw, comps[ci][by, bx], ss, se, al, ac_codes, st)
+            _emit_eobrun(bw, ac_codes, st)
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     def __init__(self, data: bytes):
         self.data = data
@@ -779,13 +1057,114 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _entropy_segments(payload: bytes, start: int):
+    """Unstuff entropy-coded data from ``start`` to the next true
+    marker; RSTn markers split it into independently byte-aligned
+    segments (E.2.4).  Returns (segments, position of next marker)."""
+    segments: list[bytes] = []
+    raw = bytearray()
+    p = start
+    while p < len(payload):
+        b = payload[p]
+        if b == 0xFF:
+            nxt = payload[p + 1] if p + 1 < len(payload) else 0xD9
+            if nxt == 0x00:
+                raw.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(raw))
+                raw = bytearray()
+                p += 2
+                continue
+            break  # EOI or next marker
+        raw.append(b)
+        p += 1
+    segments.append(bytes(raw))
+    return segments, p
+
+
+def _dec_ac_first(br, zz, ss, se, al, actab, eobrun):
+    """AC first scan, one block (G.1.2.2): EOBn run-length across
+    blocks; values arrive point-transformed, reconstruct << Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _read_symbol(br, actab)
+        r, s = sym >> 4, sym & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += br.bits(r)
+            return eobrun - 1  # current block consumed by the run
+        k += r
+        if k > se:
+            raise ValueError("JPEG: AC index overflow")
+        zz[k] = _extend(br.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _dec_ac_refine(br, zz, ss, se, al, actab, eobrun):
+    """AC refinement scan, one block (G.1.2.3): newly-nonzero
+    coefficients land at the (r+1)-th zero-HISTORY position; every
+    already-nonzero position passed consumes a correction bit that
+    pushes the magnitude up by 1<<Al."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_symbol(br, actab)
+            r, s = sym >> 4, sym & 15
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("JPEG: bad refinement symbol")
+                val = p1 if br.bit() else m1
+            elif r != 15:  # EOBn: rest of block joins the run below
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.bits(r)
+                break
+            # advance over r zero-history positions (16 for ZRL),
+            # correcting the nonzero ones along the way
+            while k <= se:
+                if zz[k] != 0:
+                    if br.bit() and (int(zz[k]) & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB-run tail: corrections only
+            if zz[k] != 0:
+                if br.bit() and (int(zz[k]) & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def jpeg_decode_coeffs(payload: bytes):
-    """Parse a baseline JPEG down to its quantized coefficient blocks:
-    returns (h, w, [per-component [bh, bw, 64] zigzag coeff arrays],
-    [per-component dequant tables], [per-component (h_i, v_i) sampling
-    factors]).  Split from jpeg_decode so tests can pin the bitstream
-    layer (huffman/zigzag/DC-prediction/stuffing) EXACTLY against the
-    encoder's coefficients, independent of IDCT float tolerance."""
+    """Parse a baseline (SOF0) or progressive (SOF2) JPEG down to its
+    quantized coefficient blocks: returns (h, w, [per-component
+    [bh, bw, 64] zigzag coeff arrays], [per-component dequant tables],
+    [per-component (h_i, v_i) sampling factors]).  Progressive files
+    walk EVERY scan — DC/AC first passes and successive-approximation
+    refinements (T.81 G.1.2), with per-scan restart intervals —
+    accumulating into the same coefficient arrays, so the return value
+    is scan-script-independent.  Split from jpeg_decode so tests can
+    pin the bitstream layer EXACTLY against the encoder's
+    coefficients, independent of IDCT float tolerance."""
     if payload[:3] != JPEG_MAGIC[:3] or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
@@ -793,10 +1172,119 @@ def jpeg_decode_coeffs(payload: bytes):
     huff: dict[tuple[int, int], dict] = {}
     ri = 0  # restart interval in MCUs (0 = none)
     h = w = None
+    progressive = False
     comps: list[tuple[int, int, int]] = []  # (id, tq, sampling)
-    scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
-    data_start = None
-    while pos + 4 <= len(payload):
+    samps: list[tuple[int, int]] = []
+    blocks: list[np.ndarray] | None = None
+    hmax = vmax = mcux = mcuy = 0
+    seen_scan = False
+
+    def _decode_scan(segments, scan, ss, se, ah, al):
+        state = {"i": 0, "br": _BitReader(segments[0])}
+
+        def advance():
+            state["i"] += 1
+            if state["i"] >= len(segments):
+                raise ValueError("JPEG: missing restart segment")
+            state["br"] = _BitReader(segments[state["i"]])
+
+        if not progressive:  # baseline: one full interleaved scan
+            prev = [0] * len(comps)
+
+            def _block(zz, tdc, tac, idx):
+                br = state["br"]
+                size = _read_symbol(br, huff[(0, tdc)])
+                diff = _extend(br.bits(size), size) if size else 0
+                prev[idx] += diff
+                zz[0] = prev[idx]
+                k = 1
+                while k < 64:
+                    sym = _read_symbol(br, huff[(1, tac)])
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    size = sym & 0xF
+                    if k > 63:
+                        raise ValueError("JPEG: AC index overflow")
+                    zz[k] = _extend(br.bits(size), size)
+                    k += 1
+
+            mcu_n = 0
+            for by in range(mcuy):
+                for bx in range(mcux):
+                    if ri and mcu_n and mcu_n % ri == 0:
+                        advance()  # realign + reset DC prediction
+                        prev = [0] * len(comps)
+                    mcu_n += 1
+                    for idx, tdc, tac in scan:
+                        hi, vi = samps[idx]
+                        for v in range(vi):
+                            for hh in range(hi):
+                                _block(
+                                    blocks[idx][by * vi + v, bx * hi + hh],
+                                    tdc, tac, idx,
+                                )
+            return
+
+        if ss == 0:  # progressive DC scan (first or refinement)
+            if se != 0:
+                raise ValueError("JPEG: progressive scan mixes DC and AC")
+            prev = [0] * len(comps)
+            single = len(scan) == 1
+            if single:
+                idx0 = scan[0][0]
+                hb, wb = _comp_block_grid(h, w, *samps[idx0], hmax, vmax)
+            else:
+                hb, wb = mcuy, mcux
+            mcu_n = 0
+            for by in range(hb):
+                for bx in range(wb):
+                    if ri and mcu_n and mcu_n % ri == 0:
+                        advance()
+                        prev = [0] * len(comps)
+                    mcu_n += 1
+                    for idx, tdc, _tac in scan:
+                        hi, vi = (1, 1) if single else samps[idx]
+                        for v in range(vi):
+                            for hh in range(hi):
+                                zz = blocks[idx][by * vi + v, bx * hi + hh]
+                                br = state["br"]
+                                if ah == 0:
+                                    size = _read_symbol(br, huff[(0, tdc)])
+                                    diff = (
+                                        _extend(br.bits(size), size)
+                                        if size
+                                        else 0
+                                    )
+                                    prev[idx] += diff
+                                    zz[0] = prev[idx] << al
+                                elif br.bit():
+                                    zz[0] = int(zz[0]) | (1 << al)
+            return
+
+        # progressive AC scan: non-interleaved, one component
+        if len(scan) != 1:
+            raise ValueError("JPEG: progressive AC scan must be 1-component")
+        idx, _tdc, tac = scan[0]
+        actab = huff[(1, tac)]
+        hb, wb = _comp_block_grid(h, w, *samps[idx], hmax, vmax)
+        dec = _dec_ac_first if ah == 0 else _dec_ac_refine
+        eobrun = 0
+        mcu_n = 0
+        for by in range(hb):
+            for bx in range(wb):
+                if ri and mcu_n and mcu_n % ri == 0:
+                    advance()
+                    eobrun = 0
+                mcu_n += 1
+                eobrun = dec(
+                    state["br"], blocks[idx][by, bx], ss, se, al, actab, eobrun
+                )
+
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG: expected marker at {pos}")
         m = payload[pos + 1]
@@ -825,7 +1313,8 @@ def jpeg_decode_coeffs(payload: bytes):
                 vals = list(body[o + 17 : o + 17 + nv])
                 huff[(tc, th)] = _decode_table(bits, vals)
                 o += 17 + nv
-        elif m == 0xC0:  # SOF0 baseline
+        elif m in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = m == 0xC2
             _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
@@ -835,95 +1324,38 @@ def jpeg_decode_coeffs(payload: bytes):
                         f"jpeg_decode: sampling factors {hi}x{vi}"
                     )
                 comps.append((cid, tq, samp))
-        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(f"jpeg_decode: SOF marker 0xFF{m:02X} (baseline SOF0 only)")
+            samps = [(c[2] >> 4, c[2] & 0xF) for c in comps]
+            hmax = max(s[0] for s in samps)
+            vmax = max(s[1] for s in samps)
+            # MCU grid (A.1.1/A.2.4): MCU-padded storage; decode crops
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            blocks = [
+                np.zeros((mcuy * vi, mcux * hi, 64), np.int64)
+                for hi, vi in samps
+            ]
+        elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"jpeg_decode: SOF marker 0xFF{m:02X} (SOF0/SOF2 only)"
+            )
         elif m == 0xDD:  # DRI
             (ri,) = struct.unpack(">H", body[:2])
         elif m == 0xDA:  # SOS
+            if blocks is None:
+                raise ValueError("JPEG: SOS before SOF")
             ns = body[0]
+            scan = []
             for si in range(ns):
                 cid, tabs = body[1 + 2 * si], body[2 + 2 * si]
                 idx = next(i for i, c in enumerate(comps) if c[0] == cid)
                 scan.append((idx, tabs >> 4, tabs & 0xF))
-            data_start = pos
-            break
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            segments, pos = _entropy_segments(payload, pos)
+            _decode_scan(segments, scan, ss, se, ahal >> 4, ahal & 0xF)
+            seen_scan = True
         # APPn / COM / others: skipped
-    if h is None or data_start is None:
-        raise ValueError("JPEG: missing SOF0/SOS")
-    # unstuff entropy data up to EOI; RSTn markers split it into
-    # independently bit-aligned segments (E.2.4)
-    segments: list[bytes] = []
-    raw = bytearray()
-    p = data_start
-    while p < len(payload):
-        b = payload[p]
-        if b == 0xFF:
-            nxt = payload[p + 1] if p + 1 < len(payload) else 0xD9
-            if nxt == 0x00:
-                raw.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(raw))
-                raw = bytearray()
-                p += 2
-                continue
-            break  # EOI or next marker
-        raw.append(b)
-        p += 1
-    segments.append(bytes(raw))
-    seg_i = 0
-    br = _BitReader(segments[0])
-    samps = [(c[2] >> 4, c[2] & 0xF) for c in comps]
-    hmax = max(s[0] for s in samps)
-    vmax = max(s[1] for s in samps)
-    # MCU grid (T.81 A.1.1/A.2.4): each component carries (h_i x v_i)
-    # blocks per MCU; its block grid is MCU-padded, decode crops later
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    blocks = [
-        np.zeros((mcuy * vi, mcux * hi, 64), np.int64) for hi, vi in samps
-    ]
-    prev = [0] * len(comps)
-
-    def _block(zz: np.ndarray, tdc: int, tac: int, idx: int) -> None:
-        size = _read_symbol(br, huff[(0, tdc)])
-        diff = _extend(br.bits(size), size) if size else 0
-        prev[idx] += diff
-        zz[0] = prev[idx]
-        k = 1
-        while k < 64:
-            sym = _read_symbol(br, huff[(1, tac)])
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL
-                k += 16
-                continue
-            k += sym >> 4
-            size = sym & 0xF
-            if k > 63:
-                raise ValueError("JPEG: AC index overflow")
-            zz[k] = _extend(br.bits(size), size)
-            k += 1
-
-    mcu_n = 0
-    for by in range(mcuy):
-        for bx in range(mcux):
-            if ri and mcu_n and mcu_n % ri == 0:
-                seg_i += 1  # next restart segment: realign + reset DC
-                if seg_i >= len(segments):
-                    raise ValueError("JPEG: missing restart segment")
-                br = _BitReader(segments[seg_i])
-                prev = [0] * len(comps)
-            mcu_n += 1
-            for idx, tdc, tac in scan:
-                hi, vi = samps[idx]
-                for v in range(vi):
-                    for hh in range(hi):
-                        _block(
-                            blocks[idx][by * vi + v, bx * hi + hh],
-                            tdc, tac, idx,
-                        )
+    if h is None or not seen_scan:
+        raise ValueError("JPEG: missing SOF/SOS")
     return h, w, blocks, [qt[c[1]] for c in comps], samps
 
 

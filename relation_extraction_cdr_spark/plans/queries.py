@@ -5068,3 +5068,91 @@ def q96(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "q97_jpeg_progressive",
+    """
+    WITH ids AS (SELECT CAST(range AS BIGINT) AS id FROM range(0, 16)),
+    dims AS (SELECT id, CAST(21 + id % 7 AS INT) AS w,
+                    CAST(17 + id % 5 AS INT) AS h FROM ids),
+    xs AS (SELECT CAST(range AS BIGINT) AS x FROM range(0, 28)),
+    ys AS (SELECT CAST(range AS BIGINT) AS y FROM range(0, 22)),
+    cells AS (
+      SELECT d.id, d.w, d.h,
+             SUM(28 + (31 * d.id + 7 * (xs.x // 16) + 13 * (ys.y // 16))
+                 % 199) AS s
+      FROM dims d
+      JOIN xs ON xs.x < d.w
+      JOIN ys ON ys.y < d.h
+      GROUP BY d.id, d.w, d.h)
+    SELECT id AS media_id,
+           CAST(CASE WHEN id % 3 = 0 THEN 2 ELSE 0 END AS INT) AS restart_mcus,
+           w AS width, h AS height,
+           CAST(CASE WHEN id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+           CAST(s AS BIGINT) AS sum_c0,
+           CAST(CASE WHEN id % 2 = 0 THEN 0 ELSE s END AS BIGINT) AS sum_c1,
+           CAST(CASE WHEN id % 2 = 0 THEN 0 ELSE s END AS BIGINT) AS sum_c2
+    FROM cells
+    """,
+)
+def q97(spark, sf_dir):
+    """REAL PROGRESSIVE JPEG (SOF2) decode, VALUE-ORACLED (the q94/q96
+    pattern): per image — grey (even ids) or 4:2:0 color (odd ids),
+    restart_interval=2 on every third id — flat 16x16 cells in closed
+    modular form, encoded through the full successive-approximation
+    scan script (DC first + refinement, band-split AC first scans,
+    two AC refinement passes) and decoded back exactly (flat cells:
+    DC-only blocks divide the flat-8 quant exactly; the AC scans
+    collapse to multi-block EOBn runs, so the run-length machinery is
+    ON the hash path).  The DuckDB oracle computes the same sums from
+    the pixel formula.  Scale shape: embarrassingly parallel
+    mapInPandas, no shuffle before the dimension-bounded projection."""
+    import pandas as pd  # noqa: F811
+
+    def run(batches):
+        import numpy as np
+
+        from ..functions.codecs import jpeg_decode, jpeg_encode_progressive
+
+        cols = ["media_id", "restart_mcus", "width", "height", "channels",
+                "sum_c0", "sum_c1", "sum_c2"]
+        for pdf in batches:
+            out = []
+            for did in pdf["id"]:
+                did = int(did)
+                w, h = 21 + did % 7, 17 + did % 5
+                ri = 2 if did % 3 == 0 else 0
+                xx = np.arange(w)[None, :]
+                yy = np.arange(h)[:, None]
+                val = (28 + (31 * did + 7 * (xx // 16) + 13 * (yy // 16)) % 199).astype(np.uint8)
+                if did % 2 == 0:
+                    blob = jpeg_encode_progressive(val, restart_interval=ri)
+                else:
+                    rgb = np.repeat(val[:, :, None], 3, axis=2)
+                    blob = jpeg_encode_progressive(
+                        rgb, subsampling="420", restart_interval=ri
+                    )
+                back = jpeg_decode(blob)
+                bh, bw, ch = back.shape
+                sums = back.reshape(-1, ch).astype(np.int64).sum(axis=0)
+                out.append(
+                    {"media_id": did, "restart_mcus": ri,
+                     "width": bw, "height": bh, "channels": ch,
+                     "sum_c0": int(sums[0]),
+                     "sum_c1": int(sums[1]) if ch > 1 else 0,
+                     "sum_c2": int(sums[2]) if ch > 2 else 0}
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return (
+        spark.range(0, 16)
+        .repartition(8)
+        .mapInPandas(
+            run,
+            schema=(
+                "media_id long, restart_mcus int, width int, height int, "
+                "channels int, sum_c0 long, sum_c1 long, sum_c2 long"
+            ),
+        )
+    )

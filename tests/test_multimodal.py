@@ -610,6 +610,59 @@ class TestJpegCodec:
         assert len(markers) == 19  # 20 MCUs, marker between each pair
         assert markers == [i % 8 for i in range(19)]
 
+    def test_jpeg_progressive_parity(self):
+        """Progressive (SOF2) encode -> decode: coefficients IDENTICAL
+        to the baseline encoder's on every REAL block (MCU-pad blocks
+        legitimately carry DC only — progressive AC scans cover the
+        component's own grid, T.81 A.2.2 — and are cropped anyway),
+        decoded pixels bit-identical to the baseline decode.  Runs the
+        full default scan script: DC first with point transform, DC
+        refinement, band-split AC first scans at Al=2, and two AC
+        successive-approximation refinement passes (EOBn runs +
+        correction bits), with and without restart intervals."""
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            _comp_block_grid,
+            jpeg_decode,
+            jpeg_decode_coeffs,
+            jpeg_encode,
+            jpeg_encode_progressive,
+        )
+
+        rng = np.random.default_rng(47)
+        cases = [
+            ((8, 8), "444"), ((24, 40), "444"), ((5, 200), "444"),
+            ((24, 40, 3), "444"), ((24, 40, 3), "420"),
+            ((17, 29, 3), "422"), ((64, 48, 3), "420"),
+        ]
+        for shape, sub in cases:
+            px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            sub = sub if len(shape) == 3 else "444"
+            base = jpeg_encode(px, subsampling=sub)
+            h, w, bb, _q, samps = jpeg_decode_coeffs(base)
+            hmax = max(s[0] for s in samps)
+            vmax = max(s[1] for s in samps)
+            for ri in (0, 2):
+                prog = jpeg_encode_progressive(
+                    px, subsampling=sub, restart_interval=ri
+                )
+                assert b"\xff\xc2" in prog and prog.count(b"\xff\xda") >= 6
+                _h, _w, pb, _pq, _ps = jpeg_decode_coeffs(prog)
+                for ci, (x, y) in enumerate(zip(bb, pb)):
+                    hb, wb = _comp_block_grid(h, w, *samps[ci], hmax, vmax)
+                    assert np.array_equal(x[:hb, :wb], y[:hb, :wb]), (
+                        shape, sub, ri, ci,
+                    )
+                assert np.array_equal(jpeg_decode(base), jpeg_decode(prog))
+        # flat image: the AC first scans collapse to a single EOBn run
+        # spanning every block — pins the multi-block run-length path
+        flat = np.full((48, 64), 131, np.uint8)
+        assert np.array_equal(
+            jpeg_decode(jpeg_encode_progressive(flat)),
+            jpeg_decode(jpeg_encode(flat)),
+        )
+
     def test_jpeg_subsampled_lossy_bounded(self):
         """Smooth-gradient content stays within a loose quantization +
         chroma-resolution envelope under 4:2:0."""
@@ -670,11 +723,16 @@ class TestJpegCodec:
         )
 
         enc = bytearray(jpeg_encode(np.zeros((8, 8), np.uint8)))
-        # SOF0 -> SOF2 (progressive)
+        # SOF0 -> SOF1 (extended sequential: still the documented seam)
         i = bytes(enc).find(b"\xff\xc0")
-        enc2 = bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2 :])
+        enc2 = bytes(enc[:i]) + b"\xff\xc1" + bytes(enc[i + 2 :])
         with pytest.raises(NotImplementedError):
             jpeg_decode(enc2)
+        # SOF0 -> SOF2 with a full-band interleaved scan is MALFORMED
+        # progressive (a progressive scan is DC-only or AC-only)
+        enc2b = bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2 :])
+        with pytest.raises(ValueError):
+            jpeg_decode(enc2b)
         # a DRI header on a stream with NO restart markers is benign
         # (interval never reached within one segment of 1 MCU)
         dri = b"\xff\xdd" + _struct.pack(">H", 4) + _struct.pack(">H", 4)
