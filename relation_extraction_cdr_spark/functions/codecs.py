@@ -11,7 +11,8 @@ REAL for the formats that need nothing beyond ``zlib``/``struct``/numpy:
   (None/Sub/Up/Average/Paeth).  Sub-byte greyscale/palette samples are
   returned RAW (0..2^d-1, no scaling to 8-bit) — greyscale scaling is
   the consumer's choice; palette indices feed the PLTE lookup exactly.
-- WAV (RIFF): PCM 16-bit little-endian, any channel count/rate.
+- WAV (RIFF): PCM 8/16/24/32-bit and IEEE float32, any channel
+  count/rate (ADPCM/a-law and friends raise).
 - JPEG (ITU-T T.81): baseline sequential (SOF0) AND progressive (SOF2
   — spectral selection + successive approximation, EOBn run-length,
   correction bits), 8-bit, greyscale or YCbCr at 4:4:4 / 4:2:2 / 4:2:0
@@ -19,8 +20,9 @@ REAL for the formats that need nothing beyond ``zlib``/``struct``/numpy:
   encode, replication upsample on decode), restart intervals
   (DRI/RSTn with DC-prediction reset), canonical Annex K huffman
   tables, byte stuffing, zigzag, DC prediction, real float DCT/IDCT.
-  Hierarchical/lossless/arithmetic SOFs and 16-bit quant tables raise
-  NotImplementedError (the remaining documented seams).
+  8- AND 16-bit quant tables (DQT Pq=0/1).
+  Hierarchical/lossless/arithmetic SOFs raise NotImplementedError (the
+  remaining documented seam).
 
 Encoders exist so tests and datagen can synthesize REAL files
 deterministically (PNG rows cycle all 5 filter types; JPEG emits a real
@@ -387,32 +389,58 @@ def png_decode(payload: bytes) -> np.ndarray:
 WAV_MAGIC = b"RIFF"
 
 
-def wav_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
-    """(n,) or (n, channels) int16 -> PCM WAV bytes."""
-    s = np.asarray(samples, np.int16)
+def wav_encode(
+    samples: np.ndarray, sample_rate: int = 16000, fmt: str = "pcm16"
+) -> bytes:
+    """(n,) or (n, channels) samples -> RIFF WAV bytes.  ``fmt``:
+    pcm16 (int16, the default and the q92 hash path), pcm8 (unsigned
+    offset-binary per the spec), pcm24 (3-byte LE from int32), pcm32
+    (int32), float32 (IEEE format code 3)."""
+    s = np.asarray(samples)
     if s.ndim == 1:
         s = s[:, None]
     n, ch = s.shape
-    data = s.astype("<i2").tobytes()
-    fmt = struct.pack(
-        "<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16
+    if fmt == "pcm16":
+        code, bits, data = 1, 16, s.astype("<i2").tobytes()
+    elif fmt == "pcm8":
+        code, bits, data = 1, 8, s.astype(np.uint8).tobytes()
+    elif fmt == "pcm24":
+        le32 = s.astype("<i4").view(np.uint8).reshape(n, ch, 4)
+        code, bits, data = 1, 24, le32[:, :, :3].tobytes()  # low 3 bytes
+    elif fmt == "pcm32":
+        code, bits, data = 1, 32, s.astype("<i4").tobytes()
+    elif fmt == "float32":
+        code, bits, data = 3, 32, s.astype("<f4").tobytes()
+    else:
+        raise NotImplementedError(f"wav_encode: format {fmt!r}")
+    bypp = bits // 8
+    fmtc = struct.pack(
+        "<HHIIHH", code, ch, sample_rate, sample_rate * ch * bypp,
+        ch * bypp, bits,
     )
     body = (
         b"WAVE"
-        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fmt " + struct.pack("<I", len(fmtc)) + fmtc
         + b"data" + struct.pack("<I", len(data)) + data
     )
+    if len(data) & 1:
+        body += b"\x00"  # RIFF chunks are word-aligned
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
-    """PCM-16 WAV bytes -> ((n, channels) int16, sample_rate)."""
+    """WAV bytes -> ((n, channels) samples, sample_rate).  PCM 8-bit
+    (returned uint8, offset-binary as stored), 16-bit (int16), 24-bit
+    (sign-extended int32), 32-bit (int32), and IEEE float32 (format
+    code 3).  Other format codes (ADPCM, a-law, ...) raise — the
+    documented seam."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE header")
     pos = 12
     rate = None
     ch = None
     data = None
+    audio_fmt = bits = None
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
         (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
@@ -421,15 +449,31 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
         if tag == b"fmt ":
             audio_fmt, ch, rate = struct.unpack("<HHI", body[:8])
             (bits,) = struct.unpack("<H", body[14:16])
-            if audio_fmt != 1 or bits != 16:
+            ok = (audio_fmt == 1 and bits in (8, 16, 24, 32)) or (
+                audio_fmt == 3 and bits == 32
+            )
+            if not ok:
                 raise NotImplementedError(
-                    f"wav_decode: format {audio_fmt}/{bits}-bit (PCM-16 only)"
+                    f"wav_decode: format {audio_fmt}/{bits}-bit"
                 )
         elif tag == b"data":
             data = body
     if rate is None or data is None:
         raise ValueError("not a WAV: missing fmt/data chunk")
-    s = np.frombuffer(data, "<i2")
+    if audio_fmt == 3:
+        s = np.frombuffer(data, "<f4")
+    elif bits == 8:
+        s = np.frombuffer(data, np.uint8)
+    elif bits == 16:
+        s = np.frombuffer(data, "<i2")
+    elif bits == 32:
+        s = np.frombuffer(data, "<i4")
+    else:  # 24-bit: widen to int32 with sign extension
+        tri = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        wide = np.zeros((tri.shape[0], 4), np.uint8)
+        wide[:, :3] = tri
+        s = wide.view("<u4").reshape(-1).astype(np.int64)
+        s = np.where(s >= 1 << 23, s - (1 << 24), s).astype(np.int32)
     return s.reshape(-1, ch), rate
 
 
@@ -440,8 +484,7 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
 # DCT, 8-bit, 1 component (greyscale) or 3 components YCbCr at 4:4:4 /
 # 4:2:2 / 4:2:0 sampling, interleaved single scan, restart intervals
 # (DRI/RSTn), standard Annex K huffman tables.  Progressive (SOF2),
-# extended/lossless SOFs, and 16-bit quant tables raise
-# NotImplementedError.  The encoder exists so tests/datagen synthesize
+# and extended/lossless SOFs raise NotImplementedError.  The encoder exists so tests/datagen synthesize
 # REAL bitstreams deterministically (headers, canonical huffman,
 # byte-stuffing, zigzag, DC prediction all on the hash path).
 # ---------------------------------------------------------------------------
@@ -679,6 +722,19 @@ def _jpeg_components(
     return comps, ql, qc, hs, vs, grey
 
 
+def _dqt_segment(tq: int, q: np.ndarray) -> bytes:
+    """DQT marker segment; entries over 255 switch to 16-bit precision
+    (Pq=1, big-endian) automatically."""
+    vals = [int(q[_ZIGZAG[k]]) for k in range(64)]
+    if max(vals) > 255:
+        body = bytes([(1 << 4) | tq]) + b"".join(
+            struct.pack(">H", v) for v in vals
+        )
+    else:
+        body = bytes([tq]) + bytes(vals)
+    return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+
+
 def jpeg_encode(
     pixels: np.ndarray,
     quant_luma: np.ndarray | None = None,
@@ -701,8 +757,7 @@ def jpeg_encode(
     out = bytearray(b"\xff\xd8")  # SOI
     # DQT (8-bit precision)
     for tq, q in ([(0, ql)] if grey else [(0, ql), (1, qc)]):
-        body = bytes([tq]) + bytes(int(q[_ZIGZAG[k]]) for k in range(64))
-        out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+        out += _dqt_segment(tq, q)
     # SOF0
     ncomp = 1 if grey else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
@@ -946,8 +1001,7 @@ def jpeg_encode_progressive(
 
     out = bytearray(b"\xff\xd8")
     for tq, q in ([(0, ql)] if grey else [(0, ql), (1, qc)]):
-        body = bytes([tq]) + bytes(int(q[_ZIGZAG[k]]) for k in range(64))
-        out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+        out += _dqt_segment(tq, q)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         samp = ((hs << 4) | vs) if ci == 0 else 0x11
@@ -1293,17 +1347,20 @@ def jpeg_decode_coeffs(payload: bytes):
         (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + ln]
         pos += 2 + ln
-        if m == 0xDB:  # DQT
+        if m == 0xDB:  # DQT (Pq=0: 8-bit entries; Pq=1: 16-bit BE)
             o = 0
             while o < len(body):
                 pq, tq = body[o] >> 4, body[o] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("jpeg_decode: 16-bit quant table")
-                zz = np.frombuffer(body[o + 1 : o + 65], np.uint8).astype(np.int64)
+                if pq not in (0, 1):
+                    raise ValueError(f"jpeg_decode: DQT precision {pq}")
+                if pq:
+                    zz = np.frombuffer(body[o + 1 : o + 129], ">u2").astype(np.int64)
+                else:
+                    zz = np.frombuffer(body[o + 1 : o + 65], np.uint8).astype(np.int64)
                 q = np.zeros(64, np.int64)
                 q[_ZIGZAG] = zz
                 qt[tq] = q
-                o += 65
+                o += 129 if pq else 65
         elif m == 0xC4:  # DHT
             o = 0
             while o < len(body):

@@ -375,6 +375,76 @@ class TestCodecs:
 
         check()
 
+    def test_wav_formats_roundtrip(self):
+        """PCM-8/24/32 and IEEE float32 round-trip exactly; 24-bit
+        sign extension pinned on negative samples crossing the byte
+        boundary; unsupported codes still raise."""
+        import numpy as np
+        import pytest
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            wav_decode,
+            wav_encode,
+        )
+
+        rng = np.random.default_rng(31)
+        s8 = rng.integers(0, 256, (33, 2)).astype(np.uint8)
+        out, rate = wav_decode(wav_encode(s8, 8000, fmt="pcm8"))
+        assert rate == 8000 and out.dtype == np.uint8
+        assert np.array_equal(out, s8)
+        s24 = np.array(
+            [[-(1 << 23)], [-1], [0], [1], [(1 << 23) - 1], [-4660]],
+            np.int32,
+        )
+        out, _ = wav_decode(wav_encode(s24, fmt="pcm24"))
+        assert out.dtype == np.int32 and np.array_equal(out, s24)
+        s32 = rng.integers(-(1 << 31), 1 << 31, (21, 3)).astype(np.int32)
+        out, _ = wav_decode(wav_encode(s32, fmt="pcm32"))
+        assert np.array_equal(out, s32)
+        f32 = rng.standard_normal((17, 1)).astype(np.float32)
+        out, _ = wav_decode(wav_encode(f32, fmt="float32"))
+        assert out.dtype == np.float32 and np.array_equal(out, f32)
+        # odd data length pads the RIFF chunk to word alignment
+        odd = wav_encode(np.array([[7], [8], [9]], np.uint8), fmt="pcm8")
+        assert len(odd) % 2 == 0
+        out, _ = wav_decode(odd)
+        assert out.reshape(-1).tolist() == [7, 8, 9]
+        with pytest.raises(NotImplementedError):
+            wav_encode(s8, fmt="adpcm")
+        blob = bytearray(wav_encode(s8, fmt="pcm8"))
+        i = blob.find(b"fmt ")
+        blob[i + 8 : i + 10] = (2).to_bytes(2, "little")  # ADPCM code
+        with pytest.raises(NotImplementedError):
+            wav_decode(bytes(blob))
+
+    def test_jpeg_16bit_quant_tables(self):
+        """DQT Pq=1 (16-bit big-endian entries) parses on both decode
+        paths; the encoder switches precision automatically when an
+        entry exceeds 255."""
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            jpeg_decode,
+            jpeg_decode_coeffs,
+            jpeg_encode,
+            jpeg_encode_progressive,
+        )
+
+        rng = np.random.default_rng(59)
+        px = rng.integers(0, 256, (17, 29, 3)).astype(np.uint8)
+        qbig = np.full(64, 300, np.int64)
+        for f in (jpeg_encode, jpeg_encode_progressive):
+            enc = f(px, quant_luma=qbig, quant_chroma=qbig, subsampling="420")
+            _h, _w, _blocks, quants, _s = jpeg_decode_coeffs(enc)
+            assert all(np.array_equal(q, qbig) for q in quants)
+            assert jpeg_decode(enc).shape == (17, 29, 3)
+        # closed form through a 16-bit table: flat 200 grey at q=256 ->
+        # DC = rint(8*(200-128)/256) = 2 -> back 2*256/8 + 128 = 192
+        flat = np.full((16, 16), 200, np.uint8)
+        q256 = np.full(64, 256, np.int64)
+        out = jpeg_decode(jpeg_encode(flat, quant_luma=q256))
+        assert np.unique(out).tolist() == [192]
+
     def test_wav_roundtrip(self):
         import numpy as np
 
