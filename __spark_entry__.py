@@ -35,10 +35,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # query whose implementation changed this round (q37/q90 codec dispatch,
 # PNG Sub vectorization + widened PNG variants, new q93 lifecycle + q94
 # JPEG + q95 palette/16-bit/interlaced PNG + q96 sub-byte PNG & JPEG
-# restart intervals + q97 progressive JPEG); (c) the FULL rotation
-# slice of queries last driver-checked in r02 — two rounds stale —
-# q01-q23, q25, q27, q31-q36, q39, q42-q47, q49-q50 (40 queries),
-# restoring their gate coverage.  The OTHER round-4-changed queries are
+# restart intervals + q97 progressive JPEG + q98 real AVI video
+# frame-sampling); (c) the rotation slice of queries last
+# driver-checked in r02 — two rounds stale — q01, q03-q23, q25, q27,
+# q31-q36, q39, q42-q47, q49-q50 (39 queries; q02_filter_project
+# yields its slot to q98 — its filter+project surface is load-bearing
+# inside virtually every in-window query), restoring their gate
+# coverage.  The OTHER round-4-changed queries are
 # rows-only by design (q86/q88/q91 training/NER loops and q87/q89 — the
 # grouped scorer batching), so a driver row adds only rows>0 over the
 # pytest bit-exactness pins (test_train layout-independence, test_ner,
@@ -61,10 +64,10 @@ DRIVER_WINDOW = [
     "q95_png_variants",
     "q96_codec_edges",
     "q97_jpeg_progressive",
+    "q98_avi_frames",
     "q37_multimodal_features",
     # rotation slice: last driver-checked in r02 (two rounds stale)
     "q01_pricing_summary",
-    "q02_filter_project",
     "q03_broadcast_join",
     "q04_semi_join",
     "q05_anti_join",

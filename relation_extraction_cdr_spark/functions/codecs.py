@@ -478,6 +478,117 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
+# AVI (RIFF 'AVI '): uncompressed 24-bit DIB video, pure python.
+#
+# Scope: the canonical uncompressed layout — one 'vids'/'DIB ' stream,
+# BI_RGB BITMAPINFOHEADER, '00db'/'00dc' frame chunks holding bottom-up
+# BGR rows with 4-byte row stride.  Compressed codecs (MJPG, h264, ...)
+# raise NotImplementedError — the seam where pyav/ffmpeg plugs in.
+# This makes the VIDEO decode + frame-sample path real end-to-end for
+# the container a test/datagen pipeline can synthesize deterministically.
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) & 1 else b""
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def _riff_list(listtype: bytes, children: bytes) -> bytes:
+    return _riff_chunk(b"LIST", listtype + children)
+
+
+def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames -> uncompressed AVI bytes
+    (RIFF/AVI, BI_RGB bottom-up BGR DIB frames, 4-byte row stride)."""
+    fr = np.asarray(frames, np.uint8)
+    if fr.ndim != 4 or fr.shape[3] != 3:
+        raise ValueError("avi_encode: frames must be (n, h, w, 3) uint8")
+    n, h, w, _ = fr.shape
+    stride = (w * 3 + 3) & ~3
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, stride * h * fps, 0, 0, n, 0, 1,
+        stride * h, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHH", 0, 0, 0)
+        + struct.pack("<7I", 0, 1, fps, 0, n, stride * h, 0)
+        + struct.pack("<I", 0) + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = bytearray()
+    pad_cols = stride - w * 3
+    for f in range(n):
+        bgr = fr[f, ::-1, :, ::-1]  # bottom-up rows, BGR samples
+        rows = bgr.reshape(h, w * 3)
+        if pad_cols:
+            rows = np.concatenate(
+                [rows, np.zeros((h, pad_cols), np.uint8)], axis=1
+            )
+        movi += _riff_chunk(b"00db", rows.tobytes())
+    body = b"AVI " + hdrl + _riff_list(b"movi", bytes(movi))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_decode(payload: bytes) -> tuple[np.ndarray, float]:
+    """Uncompressed AVI bytes -> ((n, h, w, 3) uint8 RGB frames, fps).
+    Walks the RIFF tree for avih (dims), strh (rate/scale), strf
+    (BI_RGB 24-bit check) and every '..db'/'..dc' frame chunk in the
+    movi list; compressed streams raise NotImplementedError."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI: bad RIFF/AVI header")
+    w = h = None
+    fps = 0.0
+    frames: list[np.ndarray] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal w, h, fps
+        p = 0
+        while p + 8 <= len(buf):
+            fourcc = buf[p : p + 4]
+            (ln,) = struct.unpack("<I", buf[p + 4 : p + 8])
+            data = buf[p + 8 : p + 8 + ln]
+            p += 8 + ln + (ln & 1)
+            if fourcc == b"LIST":
+                walk(data[4:])
+            elif fourcc == b"avih":
+                vals = struct.unpack("<14I", data[:56])
+                w, h = vals[8], vals[9]
+            elif fourcc == b"strh":
+                if data[:4] == b"vids":
+                    scale, rate = struct.unpack("<II", data[20:28])
+                    fps = rate / scale if scale else 0.0
+            elif fourcc == b"strf":
+                bits, comp = struct.unpack("<HI", data[14:20])
+                if comp != 0 or bits != 24:
+                    raise NotImplementedError(
+                        f"avi_decode: compression {comp}/{bits}-bit "
+                        "(uncompressed 24-bit BI_RGB only)"
+                    )
+            elif fourcc[2:] in (b"db", b"dc"):
+                if w is None:
+                    raise ValueError("AVI: frame before headers")
+                stride = (w * 3 + 3) & ~3
+                if len(data) != stride * h:
+                    raise ValueError("AVI: frame size mismatch")
+                rows = np.frombuffer(data, np.uint8).reshape(h, stride)
+                bgr = rows[:, : w * 3].reshape(h, w, 3)
+                frames.append(bgr[::-1, :, ::-1])  # top-down, RGB
+
+    walk(payload[12:])
+    if w is None or not frames:
+        raise ValueError("AVI: missing headers or frames")
+    return np.stack(frames), fps
+
+
+# ---------------------------------------------------------------------------
 # Baseline JPEG (ITU-T T.81): pure-python encoder + decoder.
 #
 # Scope (documented seam boundaries, like PNG's): baseline sequential

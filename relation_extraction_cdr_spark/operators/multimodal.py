@@ -2,13 +2,15 @@
 with typed metadata; decode / feature-extract / resize / frame-sample as
 Arrow-batched pandas UDFs over mapInPandas.
 
-PNG images and PCM WAV audio decode for REAL via the stdlib-only codecs
-in functions/codecs.py (zlib inflate + all five PNG scanline filters;
-RIFF/PCM-16 parse) — value-oracled by q90.  Other containers (JPEG,
-video) still fall to a clearly-marked deterministic fake or
-NotImplementedError, the seam where PIL/ffmpeg plug in; the Spark-side
-contract is identical either way: schemas, batch shapes, partitioning,
-and the UDF signatures are exactly what a production decoder uses.
+PNG + JPEG images, PCM/float WAV audio, and uncompressed-AVI video all
+decode for REAL via the stdlib-only codecs in functions/codecs.py —
+value-oracled by q90/q94-q98; video frame-sampling strides over ACTUAL
+decoded frames for AVI payloads.  Anything else (compressed video
+codecs, exotic containers) falls to a clearly-marked deterministic
+fake or NotImplementedError, the seam where PIL/pyav plug in; the
+Spark-side contract is identical either way: schemas, batch shapes,
+partitioning, and the UDF signatures are exactly what a production
+decoder uses.
 
 Schema contract:
   media(media_id long, kind string in {image,audio,video},
@@ -92,6 +94,24 @@ def _decode(payload: bytes, kind: str) -> np.ndarray:
     return _fake_decode(payload, kind)
 
 
+def _decode_video(payload: bytes, frame_stride: int) -> tuple[np.ndarray, int]:
+    """REAL video decode + frame sampling for uncompressed AVI
+    (functions/codecs.py RIFF walker): keep every ``frame_stride``-th
+    frame, then feature over the SAMPLED frames only —
+      [w, h, n_sampled, fps, mean_all/255, mean_r/255, mean_g/255,
+       mean_b/255].
+    Returns (feature, n_sampled)."""
+    frames, fps = _codecs.avi_decode(payload)
+    sampled = frames[::frame_stride]
+    n, h, w, _ = sampled.shape
+    means = sampled.reshape(-1, 3).mean(axis=0) / 255.0
+    feat = np.array(
+        [float(w), float(h), float(n), float(fps),
+         float(sampled.mean() / 255.0), *(float(m) for m in means)]
+    )
+    return feat, n
+
+
 def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
     """STUB decode for non-PNG/WAV payloads: a real implementation
     would dispatch to PIL / soundfile / pyav here.  The fake derives a
@@ -124,12 +144,17 @@ def extract_features(media: DataFrame, frame_stride: int = 2) -> DataFrame:
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                feat = _decode(bytes(r.payload), r.kind)
-                n_frames = 1
-                if r.kind == "video":
-                    # frame sampling: stride over fake frames derived from
-                    # duration; a real decoder samples actual frames
-                    n_frames = max(1, int(r.meta["duration_ms"] // 1000) // frame_stride)
+                payload = bytes(r.payload)
+                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    # REAL frame decode + stride sampling (AVI/DIB)
+                    feat, n_frames = _decode_video(payload, frame_stride)
+                else:
+                    feat = _decode(payload, r.kind)
+                    n_frames = 1
+                    if r.kind == "video":
+                        # frame sampling over fake frames derived from
+                        # duration; real containers take the branch above
+                        n_frames = max(1, int(r.meta["duration_ms"] // 1000) // frame_stride)
                 out.append(
                     {"media_id": int(r.media_id), "kind": r.kind,
                      "feature": [float(x) for x in feat], "n_frames": n_frames}

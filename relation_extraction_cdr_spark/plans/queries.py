@@ -5156,3 +5156,90 @@ def q97(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "q98_avi_frames",
+    """
+    WITH ids AS (SELECT CAST(range AS BIGINT) AS id FROM range(0, 16)),
+    dims AS (SELECT id, CAST(9 + id % 4 AS INT) AS nf,
+                    CAST(13 + id % 5 AS INT) AS w,
+                    CAST(7 + id % 3 AS INT) AS h,
+                    CAST(2 + id % 3 AS INT) AS stride FROM ids),
+    fs AS (SELECT CAST(range AS BIGINT) AS f FROM range(0, 13)),
+    xs AS (SELECT CAST(range AS BIGINT) AS x FROM range(0, 18)),
+    ys AS (SELECT CAST(range AS BIGINT) AS y FROM range(0, 10)),
+    cs AS (SELECT UNNEST([0, 1, 2]) AS c),
+    cells AS (
+      SELECT d.id, d.w, d.h, d.stride, cs.c,
+             COUNT(DISTINCT fs.f) FILTER (WHERE cs.c = 0) AS nsamp,
+             SUM((d.id + 11 * fs.f + 3 * xs.x + 5 * ys.y + 29 * cs.c) % 256) AS s
+      FROM dims d
+      JOIN fs ON fs.f < d.nf AND fs.f % d.stride = 0
+      JOIN xs ON xs.x < d.w
+      JOIN ys ON ys.y < d.h
+      CROSS JOIN cs
+      GROUP BY 1, 2, 3, 4, 5)
+    SELECT id AS media_id, w AS width, h AS height,
+           CAST(MAX(nsamp) AS INT) AS n_frames,
+           CAST(MAX(CASE WHEN c = 0 THEN s END) AS BIGINT) AS sum_r,
+           CAST(MAX(CASE WHEN c = 1 THEN s END) AS BIGINT) AS sum_g,
+           CAST(MAX(CASE WHEN c = 2 THEN s END) AS BIGINT) AS sum_b
+    FROM cells GROUP BY 1, 2, 3
+    """,
+)
+def q98(spark, sf_dir):
+    """REAL VIDEO decode + frame sampling, VALUE-ORACLED: per id an
+    uncompressed AVI (RIFF/DIB, bottom-up BGR, 4-byte stride — widths
+    13..17 force stride padding) of nf frames whose pixels follow a
+    closed modular form; the kernel round-trips REAL bytes through
+    functions/codecs.py avi_encode/avi_decode, strides over the ACTUAL
+    decoded frames (every (2+id%3)-th), and emits exact per-channel
+    sums over the sampled frames; the DuckDB oracle computes the same
+    sums straight from the formula restricted to f % stride = 0.  Any
+    bug in RIFF walking, bottom-up row order, BGR swap, stride-pad
+    handling, or sampling arithmetic breaks the hash.  Scale shape:
+    embarrassingly parallel mapInPandas, no shuffle before the
+    dimension-bounded projection."""
+    import pandas as pd  # noqa: F811
+
+    def run(batches):
+        import numpy as np
+
+        from ..functions.codecs import avi_decode, avi_encode
+
+        cols = ["media_id", "width", "height", "n_frames",
+                "sum_r", "sum_g", "sum_b"]
+        for pdf in batches:
+            out = []
+            for did in pdf["id"]:
+                did = int(did)
+                nf, w, h = 9 + did % 4, 13 + did % 5, 7 + did % 3
+                stride = 2 + did % 3
+                f = np.arange(nf)[:, None, None, None]
+                y = np.arange(h)[None, :, None, None]
+                x = np.arange(w)[None, None, :, None]
+                c = np.arange(3)[None, None, None, :]
+                fr = ((did + 11 * f + 3 * x + 5 * y + 29 * c) % 256).astype(np.uint8)
+                frames, fps = avi_decode(avi_encode(fr, fps=10))
+                sampled = frames[::stride]
+                sums = sampled.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                out.append(
+                    {"media_id": did, "width": w, "height": h,
+                     "n_frames": int(sampled.shape[0]),
+                     "sum_r": int(sums[0]), "sum_g": int(sums[1]),
+                     "sum_b": int(sums[2])}
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return (
+        spark.range(0, 16)
+        .repartition(8)
+        .mapInPandas(
+            run,
+            schema=(
+                "media_id long, width int, height int, n_frames int, "
+                "sum_r long, sum_g long, sum_b long"
+            ),
+        )
+    )

@@ -445,6 +445,93 @@ class TestCodecs:
         out = jpeg_decode(jpeg_encode(flat, quant_luma=q256))
         assert np.unique(out).tolist() == [192]
 
+    def test_avi_roundtrip_and_pinned_layout(self):
+        """Uncompressed AVI: encoder<->decoder round-trips exactly
+        (odd widths force the 4-byte row-stride pad), and a hand-built
+        single-frame file pins the DIB layout — bottom-up rows, BGR
+        sample order, stride padding — against the format spec rather
+        than our encoder."""
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            avi_decode,
+            avi_encode,
+        )
+
+        rng = np.random.default_rng(23)
+        for n, h, w in ((1, 4, 4), (5, 9, 13), (3, 17, 21)):
+            fr = rng.integers(0, 256, (n, h, w, 3)).astype(np.uint8)
+            back, fps = avi_decode(avi_encode(fr, fps=12))
+            assert fps == 12.0 and np.array_equal(back, fr), (n, h, w)
+        # hand-built 2x2 single frame: stride pad 2 bytes; DIB rows are
+        # bottom-up BGR, so the FIRST stored row is the BOTTOM image row
+        def chunk(cc, data):
+            pad = b"\x00" if len(data) & 1 else b""
+            return cc + struct.pack("<I", len(data)) + data + pad
+
+        def lst(t, children):
+            return chunk(b"LIST", t + children)
+
+        avih = struct.pack("<14I", 100000, 0, 0, 0, 1, 0, 1, 0, 2, 2, 0, 0, 0, 0)
+        strh = (
+            b"vids" + b"DIB " + struct.pack("<IHH", 0, 0, 0)
+            + struct.pack("<7I", 0, 1, 10, 0, 1, 0, 0)
+            + struct.pack("<I", 0) + struct.pack("<4H", 0, 0, 2, 2)
+        )
+        strf = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 0, 0, 0, 0, 0)
+        # bottom row: px(1,0)=BGR(3,2,1) px(1,1)=BGR(6,5,4); pad 00 00
+        # top row:    px(0,0)=BGR(9,8,7) px(0,1)=BGR(12,11,10); pad
+        dib = bytes([3, 2, 1, 6, 5, 4, 0, 0, 9, 8, 7, 12, 11, 10, 0, 0])
+        body = (
+            b"AVI "
+            + lst(b"hdrl", chunk(b"avih", avih)
+                  + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+            + lst(b"movi", chunk(b"00db", dib))
+        )
+        blob = b"RIFF" + struct.pack("<I", len(body)) + body
+        frames, fps = avi_decode(blob)
+        assert fps == 10.0
+        exp = np.array(
+            [[[[7, 8, 9], [10, 11, 12]], [[1, 2, 3], [4, 5, 6]]]], np.uint8
+        )
+        assert np.array_equal(frames, exp)
+        # compressed streams stay the documented seam
+        strf_mjpg = struct.pack(
+            "<IiiHHIIiiII", 40, 2, 2, 1, 24, 0x47504A4D, 0, 0, 0, 0, 0
+        )
+        body2 = body.replace(strf, strf_mjpg)
+        with pytest.raises(NotImplementedError):
+            avi_decode(b"RIFF" + struct.pack("<I", len(body2)) + body2)
+
+    def test_extract_features_real_avi(self, spark):
+        """extract_features strides over ACTUAL decoded AVI frames:
+        n_frames = ceil(nf / stride) and the channel means come from
+        the sampled frames only."""
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import avi_encode
+
+        nf, h, w = 7, 6, 5
+        f = np.arange(nf)[:, None, None, None]
+        c = np.arange(3)[None, None, None, :]
+        fr = ((40 * f + 3 * c) % 256).astype(np.uint8) * np.ones(
+            (1, h, w, 1), np.uint8
+        )
+        blob = avi_encode(fr, fps=10)
+        media = spark.createDataFrame(
+            [(0, "video", bytearray(blob), (w, h, 700, "avi"))],
+            MM.MEDIA_SCHEMA,
+        )
+        row = MM.extract_features(media, frame_stride=3).collect()[0]
+        assert row.n_frames == 3  # frames 0, 3, 6
+        feat = row.feature
+        assert feat[:4] == [float(w), float(h), 3.0, 10.0]
+        # channel-0 mean over frames 0,3,6: (0 + 120 + 240)/3 / 255
+        assert abs(feat[5] - (0 + 120 + 240) / 3 / 255.0) < 1e-6
+
     def test_wav_roundtrip(self):
         import numpy as np
 
