@@ -11,8 +11,9 @@ REAL for the formats that need nothing beyond ``zlib``/``struct``/numpy:
   (None/Sub/Up/Average/Paeth).  Sub-byte greyscale/palette samples are
   returned RAW (0..2^d-1, no scaling to 8-bit) — greyscale scaling is
   the consumer's choice; palette indices feed the PLTE lookup exactly.
-- WAV (RIFF): PCM 8/16/24/32-bit and IEEE float32, any channel
-  count/rate (ADPCM/a-law and friends raise).
+- WAV (RIFF): PCM 8/16/24/32-bit, IEEE float32, and G.711 a-law /
+  u-law companding (byte-exact with the CCITT reference), any channel
+  count/rate (ADPCM and friends raise).
 - JPEG (ITU-T T.81): baseline sequential (SOF0) AND progressive (SOF2
   — spectral selection + successive approximation, EOBn run-length,
   correction bits), 8-bit, greyscale or YCbCr at 4:4:4 / 4:2:2 / 4:2:0
@@ -389,13 +390,75 @@ def png_decode(payload: bytes) -> np.ndarray:
 WAV_MAGIC = b"RIFF"
 
 
+# G.711 companding (µ-law format code 7, a-law code 6), pure numpy.
+# Table-driven both ways; tests pin byte-exact parity with the stdlib
+# audioop implementation across the full 8-bit / 16-bit domains.
+_ULAW_BIAS, _G711_CLIP = 0x84, 32635
+
+
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """(ulaw_decode[256] int16, alaw_decode[256] int16)."""
+    c = np.arange(256)
+    u = ~c & 0xFF
+    mag = (((u & 0xF) << 3) + _ULAW_BIAS) << ((u >> 4) & 7)
+    ulaw = np.where(u & 0x80, _ULAW_BIAS - mag, mag - _ULAW_BIAS)
+    a = c ^ 0x55
+    exp = (a >> 4) & 7
+    mant = a & 0xF
+    mag = np.where(exp, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0),
+                   (mant << 4) + 8)
+    alaw = np.where(a & 0x80, mag, -mag)
+    return ulaw.astype(np.int16), alaw.astype(np.int16)
+
+
+_ULAW_DEC, _ALAW_DEC = _g711_tables()
+
+
+_SEG_UEND = np.array([0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF])
+_SEG_AEND = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF])
+
+
+def ulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 -> µ-law bytes — the CCITT g711.c segment-search
+    algorithm on the 14-bit pre-shifted sample (byte-exact with the
+    stdlib audioop.lin2ulaw, pinned in pytest)."""
+    pcm = np.asarray(samples, np.int32) >> 2  # 14-bit domain
+    neg = pcm < 0
+    mask = np.where(neg, 0x7F, 0xFF)
+    pcm = np.where(neg, -pcm, pcm)
+    pcm = np.minimum(pcm, 8159) + (_ULAW_BIAS >> 2)
+    seg = np.searchsorted(_SEG_UEND, pcm, side="left")
+    segc = np.minimum(seg, 7)
+    uval = np.where(
+        seg >= 8, 0x7F, (segc << 4) | ((pcm >> (segc + 1)) & 0xF)
+    )
+    return (uval ^ mask).astype(np.uint8)
+
+
+def alaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 -> a-law bytes — CCITT g711.c on the 13-bit pre-shifted
+    sample (byte-exact with audioop.lin2alaw, pinned in pytest)."""
+    pcm = np.asarray(samples, np.int32) >> 3  # 13-bit domain
+    nonneg = pcm >= 0
+    mask = np.where(nonneg, 0xD5, 0x55)
+    pcm = np.where(nonneg, pcm, -pcm - 1)
+    seg = np.searchsorted(_SEG_AEND, pcm, side="left")
+    segc = np.minimum(seg, 7)
+    aval = (segc << 4) | np.where(
+        segc < 2, (pcm >> 1) & 0xF, (pcm >> segc) & 0xF
+    )
+    aval = np.where(seg >= 8, 0x7F, aval)
+    return (aval ^ mask).astype(np.uint8)
+
+
 def wav_encode(
     samples: np.ndarray, sample_rate: int = 16000, fmt: str = "pcm16"
 ) -> bytes:
     """(n,) or (n, channels) samples -> RIFF WAV bytes.  ``fmt``:
     pcm16 (int16, the default and the q92 hash path), pcm8 (unsigned
     offset-binary per the spec), pcm24 (3-byte LE from int32), pcm32
-    (int32), float32 (IEEE format code 3)."""
+    (int32), float32 (IEEE format code 3), alaw/ulaw (G.711 companded
+    from int16)."""
     s = np.asarray(samples)
     if s.ndim == 1:
         s = s[:, None]
@@ -411,6 +474,10 @@ def wav_encode(
         code, bits, data = 1, 32, s.astype("<i4").tobytes()
     elif fmt == "float32":
         code, bits, data = 3, 32, s.astype("<f4").tobytes()
+    elif fmt == "alaw":
+        code, bits, data = 6, 8, alaw_encode(s).tobytes()
+    elif fmt == "ulaw":
+        code, bits, data = 7, 8, ulaw_encode(s).tobytes()
     else:
         raise NotImplementedError(f"wav_encode: format {fmt!r}")
     bypp = bits // 8
@@ -431,9 +498,9 @@ def wav_encode(
 def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes -> ((n, channels) samples, sample_rate).  PCM 8-bit
     (returned uint8, offset-binary as stored), 16-bit (int16), 24-bit
-    (sign-extended int32), 32-bit (int32), and IEEE float32 (format
-    code 3).  Other format codes (ADPCM, a-law, ...) raise — the
-    documented seam."""
+    (sign-extended int32), 32-bit (int32), IEEE float32 (format code
+    3), and G.711 a-law/u-law (codes 6/7, expanded to linear int16).
+    Other format codes (ADPCM, ...) raise — the documented seam."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE header")
     pos = 12
@@ -449,8 +516,10 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
         if tag == b"fmt ":
             audio_fmt, ch, rate = struct.unpack("<HHI", body[:8])
             (bits,) = struct.unpack("<H", body[14:16])
-            ok = (audio_fmt == 1 and bits in (8, 16, 24, 32)) or (
-                audio_fmt == 3 and bits == 32
+            ok = (
+                (audio_fmt == 1 and bits in (8, 16, 24, 32))
+                or (audio_fmt == 3 and bits == 32)
+                or (audio_fmt in (6, 7) and bits == 8)  # G.711 a/µ-law
             )
             if not ok:
                 raise NotImplementedError(
@@ -462,6 +531,10 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a WAV: missing fmt/data chunk")
     if audio_fmt == 3:
         s = np.frombuffer(data, "<f4")
+    elif audio_fmt == 6:  # a-law -> linear int16
+        s = _ALAW_DEC[np.frombuffer(data, np.uint8)]
+    elif audio_fmt == 7:  # µ-law -> linear int16
+        s = _ULAW_DEC[np.frombuffer(data, np.uint8)]
     elif bits == 8:
         s = np.frombuffer(data, np.uint8)
     elif bits == 16:

@@ -345,6 +345,83 @@ class TestCodecs:
 
         check()
 
+    def test_codec_edges_roundtrip_property(self):
+        """Property sweep over the round-4 codec surface: sub-byte PNG
+        (random depth/interlace), progressive JPEG (coefficients match
+        baseline on the real grid at any shape/subsampling/restart),
+        and AVI frames — any seed, any geometry."""
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            _comp_block_grid,
+            avi_decode,
+            avi_encode,
+            jpeg_decode_coeffs,
+            jpeg_encode,
+            jpeg_encode_progressive,
+            png_decode,
+            png_encode,
+        )
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            w=st.integers(1, 33),
+            h=st.integers(1, 19),
+            depth=st.sampled_from([1, 2, 4]),
+            interlace=st.booleans(),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def check_png(w, h, depth, interlace, seed):
+            px = np.random.default_rng(seed).integers(
+                0, 1 << depth, (h, w), dtype=np.uint8
+            )
+            back = png_decode(png_encode(px, interlace=interlace, depth=depth))
+            assert np.array_equal(back[:, :, 0], px)
+
+        @settings(max_examples=15, deadline=None)
+        @given(
+            w=st.integers(8, 48),
+            h=st.integers(8, 32),
+            sub=st.sampled_from(["444", "422", "420"]),
+            ri=st.sampled_from([0, 1, 3]),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def check_jpeg(w, h, sub, ri, seed):
+            px = np.random.default_rng(seed).integers(
+                0, 256, (h, w, 3), dtype=np.uint8
+            )
+            bh_, bw_, bb, _q, samps = jpeg_decode_coeffs(
+                jpeg_encode(px, subsampling=sub)
+            )
+            hmax = max(s[0] for s in samps)
+            vmax = max(s[1] for s in samps)
+            _h2, _w2, pb, _q2, _s2 = jpeg_decode_coeffs(
+                jpeg_encode_progressive(px, subsampling=sub, restart_interval=ri)
+            )
+            for ci, (x, y) in enumerate(zip(bb, pb)):
+                gb, gw = _comp_block_grid(bh_, bw_, *samps[ci], hmax, vmax)
+                assert np.array_equal(x[:gb, :gw], y[:gb, :gw]), (ci, sub, ri)
+
+        @settings(max_examples=15, deadline=None)
+        @given(
+            n=st.integers(1, 6),
+            w=st.integers(1, 21),
+            h=st.integers(1, 13),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def check_avi(n, w, h, seed):
+            fr = np.random.default_rng(seed).integers(
+                0, 256, (n, h, w, 3), dtype=np.uint8
+            )
+            back, _fps = avi_decode(avi_encode(fr))
+            assert np.array_equal(back, fr)
+
+        check_png()
+        check_jpeg()
+        check_avi()
+
     def test_wav_roundtrip_property(self):
         """Any int16 mono/stereo clip at any rate survives
         encode->decode bit-exactly, including odd data-chunk lengths
@@ -416,6 +493,53 @@ class TestCodecs:
         blob[i + 8 : i + 10] = (2).to_bytes(2, "little")  # ADPCM code
         with pytest.raises(NotImplementedError):
             wav_decode(bytes(blob))
+
+    def test_g711_companding(self):
+        """G.711 µ-law/a-law: decode tables AND the segment-search
+        encoders are byte-exact with the stdlib audioop reference over
+        the FULL domains (all 256 code bytes, all 65536 int16 samples);
+        the WAV container round-trips format codes 6/7 with linear
+        int16 expansion."""
+        import audioop
+
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            _ALAW_DEC,
+            _ULAW_DEC,
+            alaw_encode,
+            ulaw_encode,
+            wav_decode,
+            wav_encode,
+        )
+
+        allb = bytes(range(256))
+        assert np.array_equal(
+            _ULAW_DEC, np.frombuffer(audioop.ulaw2lin(allb, 2), "<i2")
+        )
+        assert np.array_equal(
+            _ALAW_DEC, np.frombuffer(audioop.alaw2lin(allb, 2), "<i2")
+        )
+        allv = np.arange(-32768, 32768, dtype=np.int16)
+        raw = allv.astype("<i2").tobytes()
+        assert np.array_equal(
+            ulaw_encode(allv),
+            np.frombuffer(audioop.lin2ulaw(raw, 2), np.uint8),
+        )
+        assert np.array_equal(
+            alaw_encode(allv),
+            np.frombuffer(audioop.lin2alaw(raw, 2), np.uint8),
+        )
+        # container: encode companded -> decode expands to the same
+        # linear values audioop produces for the same code bytes
+        s = np.array([[0], [1], [-1], [1000], [-32768], [32767]], np.int16)
+        for fmt, enc, dec_tab in (
+            ("ulaw", ulaw_encode, _ULAW_DEC),
+            ("alaw", alaw_encode, _ALAW_DEC),
+        ):
+            out, rate = wav_decode(wav_encode(s, 8000, fmt=fmt))
+            assert rate == 8000 and out.dtype == np.int16
+            assert np.array_equal(out, dec_tab[enc(s)])
 
     def test_jpeg_16bit_quant_tables(self):
         """DQT Pq=1 (16-bit big-endian entries) parses on both decode
