@@ -126,21 +126,32 @@ def _byte_rows(px: np.ndarray) -> tuple[np.ndarray, int, int]:
     return px.astype(np.uint8).reshape(h, w, ch), 8, ch
 
 
-def _subbyte_idat(px: np.ndarray, depth: int, interlace: bool) -> bytearray:
-    """Filtered IDAT payload for sub-byte (1/2/4-bit) single-channel
-    samples: each scanline packs to ceil(w*depth/8) bytes and filters
-    with bpp=1 (PNG spec 9.2: filters act on bytes, not samples)."""
+def _idat_payload(grid: np.ndarray, interlace: bool, pack) -> bytearray:
+    """Filtered IDAT payload: ``grid`` is the per-pixel sample grid
+    (first two axes = y, x); ``pack(sub)`` turns a (sub-)image into
+    ((h, stride) scanline bytes, filter bpp).  One place owns the
+    Adam7 pass geometry and the filter-type cycle continuation (f0)
+    for every color layout."""
     if not interlace:
-        return _filter_lines(_pack_bits(px, depth), 1)
+        rows, bpp = pack(grid)
+        return _filter_lines(rows, bpp)
     raw = bytearray()
     f0 = 0
     for x0, y0, dx, dy in _ADAM7:
-        sub = px[y0::dy, x0::dx]
+        sub = grid[y0::dy, x0::dx]
         if sub.shape[0] == 0 or sub.shape[1] == 0:
             continue
-        raw.extend(_filter_lines(_pack_bits(sub, depth), 1, f0))
+        rows, bpp = pack(sub)
+        raw.extend(_filter_lines(rows, bpp, f0))
         f0 += sub.shape[0]
     return raw
+
+
+def _subbyte_idat(px: np.ndarray, depth: int, interlace: bool) -> bytearray:
+    """Sub-byte (1/2/4-bit) single-channel samples: scanlines pack to
+    ceil(w*depth/8) bytes and filter with bpp=1 (PNG spec 9.2: filters
+    act on bytes, not samples)."""
+    return _idat_payload(px, interlace, lambda s: (_pack_bits(s, depth), 1))
 
 
 def png_encode(
@@ -178,18 +189,10 @@ def png_encode(
     ihdr = struct.pack(
         ">IIBBBBB", w, h, depth, _COLOR_TYPE[ch], 0, 0, 1 if interlace else 0
     )
-    if not interlace:
-        raw = _filter_lines(rows.reshape(h, w * bypp), bypp)
-    else:
-        raw = bytearray()
-        f0 = 0
-        for x0, y0, dx, dy in _ADAM7:
-            sub = rows[y0::dy, x0::dx]
-            ph, pw = sub.shape[0], sub.shape[1]
-            if ph == 0 or pw == 0:
-                continue
-            raw.extend(_filter_lines(sub.reshape(ph, pw * bypp), bypp, f0))
-            f0 += ph
+    raw = _idat_payload(
+        rows, interlace,
+        lambda s2: (s2.reshape(s2.shape[0], s2.shape[1] * bypp), bypp),
+    )
     return (
         PNG_MAGIC
         + _chunk(b"IHDR", ihdr)
@@ -216,22 +219,14 @@ def png_encode_palette(
         raise ValueError("palette must be (n, 3) uint8, 1 <= n <= 256")
     if int(idx.max(initial=0)) >= min(pal.shape[0], 1 << depth):
         raise ValueError("palette index out of range")
+    if trns is not None and len(np.asarray(trns)) > pal.shape[0]:
+        raise ValueError("tRNS longer than PLTE")
     h, w = idx.shape
     ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 1 if interlace else 0)
     if depth != 8:
         raw = _subbyte_idat(idx, depth, interlace)
-    elif not interlace:
-        raw = _filter_lines(idx.reshape(h, w), 1)
     else:
-        raw = bytearray()
-        f0 = 0
-        for x0, y0, dx, dy in _ADAM7:
-            sub = idx[y0::dy, x0::dx]
-            ph, pw = sub.shape[0], sub.shape[1]
-            if ph == 0 or pw == 0:
-                continue
-            raw.extend(_filter_lines(sub.reshape(ph, pw), 1, f0))
-            f0 += ph
+        raw = _idat_payload(idx, interlace, lambda s2: (s2, 1))
     out = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal.tobytes())
     if trns is not None:
         out += _chunk(b"tRNS", np.asarray(trns, np.uint8).tobytes())
@@ -382,6 +377,8 @@ def png_decode(payload: bytes) -> np.ndarray:
         if trns is None:
             return rgb
         alpha = np.full(plte.shape[0], 255, np.uint8)
+        if len(trns) > plte.shape[0]:
+            raise ValueError("PNG: tRNS longer than PLTE")
         alpha[: len(trns)] = trns
         return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
     return rows.reshape(h, w, ch)
@@ -493,6 +490,25 @@ def wav_encode(
     if len(data) & 1:
         body += b"\x00"  # RIFF chunks are word-aligned
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_format(payload: bytes) -> tuple[int, int]:
+    """WAV bytes -> (format code, bits per sample) from the fmt chunk
+    — lets feature extractors pick the right full-scale normalizer for
+    whatever wav_decode returns."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)
+        if tag == b"fmt ":
+            (code,) = struct.unpack("<H", body[:2])
+            (bits,) = struct.unpack("<H", body[14:16])
+            return code, bits
+    raise ValueError("not a WAV: missing fmt chunk")
 
 
 def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
@@ -621,25 +637,32 @@ def avi_decode(payload: bytes) -> tuple[np.ndarray, float]:
     fps = 0.0
     frames: list[np.ndarray] = []
 
-    def walk(buf: bytes) -> None:
+    def walk(lo: int, hi: int) -> None:
+        # offset-based walk: no intermediate byte copies — a large
+        # uncompressed AVI would otherwise be duplicated per nesting
+        # level (payload -> LIST body -> movi body -> frame)
         nonlocal w, h, fps
-        p = 0
-        while p + 8 <= len(buf):
-            fourcc = buf[p : p + 4]
-            (ln,) = struct.unpack("<I", buf[p + 4 : p + 8])
-            data = buf[p + 8 : p + 8 + ln]
+        p = lo
+        while p + 8 <= hi:
+            fourcc = payload[p : p + 4]
+            (ln,) = struct.unpack("<I", payload[p + 4 : p + 8])
+            d0, d1 = p + 8, min(p + 8 + ln, hi)
             p += 8 + ln + (ln & 1)
             if fourcc == b"LIST":
-                walk(data[4:])
+                walk(d0 + 4, d1)
             elif fourcc == b"avih":
-                vals = struct.unpack("<14I", data[:56])
+                vals = struct.unpack("<14I", payload[d0 : d0 + 56])
                 w, h = vals[8], vals[9]
             elif fourcc == b"strh":
-                if data[:4] == b"vids":
-                    scale, rate = struct.unpack("<II", data[20:28])
+                if payload[d0 : d0 + 4] == b"vids":
+                    scale, rate = struct.unpack(
+                        "<II", payload[d0 + 20 : d0 + 28]
+                    )
                     fps = rate / scale if scale else 0.0
             elif fourcc == b"strf":
-                bits, comp = struct.unpack("<HI", data[14:20])
+                bits, comp = struct.unpack(
+                    "<HI", payload[d0 + 14 : d0 + 20]
+                )
                 if comp != 0 or bits != 24:
                     raise NotImplementedError(
                         f"avi_decode: compression {comp}/{bits}-bit "
@@ -649,13 +672,15 @@ def avi_decode(payload: bytes) -> tuple[np.ndarray, float]:
                 if w is None:
                     raise ValueError("AVI: frame before headers")
                 stride = (w * 3 + 3) & ~3
-                if len(data) != stride * h:
+                if d1 - d0 != stride * h:
                     raise ValueError("AVI: frame size mismatch")
-                rows = np.frombuffer(data, np.uint8).reshape(h, stride)
+                rows = np.frombuffer(
+                    payload, np.uint8, stride * h, offset=d0
+                ).reshape(h, stride)
                 bgr = rows[:, : w * 3].reshape(h, w, 3)
-                frames.append(bgr[::-1, :, ::-1])  # top-down, RGB
+                frames.append(bgr[::-1, :, ::-1].copy())  # top-down, RGB
 
-    walk(payload[12:])
+    walk(12, len(payload))
     if w is None or not frames:
         raise ValueError("AVI: missing headers or frames")
     return np.stack(frames), fps
@@ -1210,17 +1235,24 @@ def jpeg_encode_progressive(
         out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
         bw = _BitWriter()
         st = _AcRefineState()
-        if ss == 0:  # DC scan: MCU-interleaved over all scan comps
+        if ss == 0:  # DC scan: MCU-interleaved (ns>1) or the single
+            # component's own grid (ns=1, T.81 A.2.2) — mirroring the
+            # decoder's geometry exactly
             prev = [0] * ncomp
+            single = len(ids) == 1
+            if single:
+                gh, gw = _comp_block_grid(h, w, *samps[ids[0]], hs, vs)
+            else:
+                gh, gw = mcuy, mcux
             mcu_n = 0
-            for by in range(mcuy):
-                for bx in range(mcux):
+            for by in range(gh):
+                for bx in range(gw):
                     if restart_interval and mcu_n and mcu_n % restart_interval == 0:
                         bw.restart(mcu_n // restart_interval - 1)
                         prev = [0] * ncomp
                     mcu_n += 1
                     for ci in ids:
-                        hi, vi = samps[ci]
+                        hi, vi = (1, 1) if single else samps[ci]
                         for v in range(vi):
                             for hh in range(hi):
                                 dc = int(comps[ci][by * vi + v, bx * hi + hh][0])
@@ -1239,6 +1271,10 @@ def jpeg_encode_progressive(
                                 else:  # refinement: one raw bit
                                     bw.put((dc >> al) & 1, 1)
         else:  # AC scan: non-interleaved, the component's own grid
+            if len(ids) != 1:
+                raise ValueError(
+                    "progressive AC scan must be single-component (A.2.2)"
+                )
             ci = ids[0]
             hi, vi = samps[ci]
             hb, wb = _comp_block_grid(h, w, hi, vi, hs, vs)
@@ -1450,15 +1486,23 @@ def jpeg_decode_coeffs(payload: bytes):
                     zz[k] = _extend(br.bits(size), size)
                     k += 1
 
+            # a 1-component scan is non-interleaved: one block per MCU
+            # over the component's OWN grid (T.81 A.2.2) — multi-scan
+            # baseline files from other encoders use this layout
+            single = len(scan) == 1
+            if single:
+                gh, gw = _comp_block_grid(h, w, *samps[scan[0][0]], hmax, vmax)
+            else:
+                gh, gw = mcuy, mcux
             mcu_n = 0
-            for by in range(mcuy):
-                for bx in range(mcux):
+            for by in range(gh):
+                for bx in range(gw):
                     if ri and mcu_n and mcu_n % ri == 0:
                         advance()  # realign + reset DC prediction
                         prev = [0] * len(comps)
                     mcu_n += 1
                     for idx, tdc, tac in scan:
-                        hi, vi = samps[idx]
+                        hi, vi = (1, 1) if single else samps[idx]
                         for v in range(vi):
                             for hh in range(hi):
                                 _block(

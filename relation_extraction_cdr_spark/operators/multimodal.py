@@ -56,19 +56,23 @@ def gen_media_df(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
 
 
 def _decode(payload: bytes, kind: str) -> np.ndarray:
-    """Decode dispatch.  REAL pure-python codecs handle PNG and baseline
-    JPEG images and PCM WAV audio (functions/codecs.py — zlib/struct
-    only; all five PNG filter types; Annex-K huffman JPEG); other
-    payloads fall through to the deterministic fake so the synthetic
-    media table keeps working.  Video (and the remaining image/audio
-    containers: progressive/subsampled JPEG, sub-byte-depth PNG, ...)
-    remain the documented seam for PIL/ffmpeg.
+    """Decode dispatch.  REAL pure-python codecs handle the full PNG
+    surface (1-16 bit, palette, Adam7), baseline AND progressive JPEG
+    (all chroma samplings, restart intervals), and every supported WAV
+    format (PCM 8/16/24/32, float32, G.711 a/u-law) — functions/
+    codecs.py, zlib/struct only.  Uncompressed-AVI video takes the
+    _decode_video branch in extract_features (real frame sampling).
+    Payloads with none of those magics fall through to the
+    deterministic fake so the synthetic media table keeps working —
+    the remaining seam for PIL/pyav (compressed video, exotic
+    containers).
 
     Real-decode features are 8-dim like the fake's, so FEATURES_SCHEMA
     is container-independent (``maxv`` = 255 or 65535 by sample depth):
       PNG/JPEG -> [w, h, ch, mean_all/maxv, mean_c0/maxv .. mean_c3/maxv]
                   (absent channels 0)
-      WAV  -> [rate/1e3, n_samples, ch, mean/2^15, rms/2^15, 0, 0, 0]
+      WAV  -> [rate/1e3, n_samples, ch, mean/fullscale, rms/fullscale,
+               0, 0, 0] — full scale picked per format via wav_format
     """
     px = None
     if payload[:8] == _codecs.PNG_MAGIC:
@@ -85,8 +89,17 @@ def _decode(payload: bytes, kind: str) -> np.ndarray:
         )
     if payload[:4] == _codecs.WAV_MAGIC and payload[8:12] == b"WAVE":
         samples, rate = _codecs.wav_decode(payload)
+        code, bits = _codecs.wav_format(payload)
         n, ch = samples.shape
-        s = samples.astype(np.float64) / 32768.0
+        s = samples.astype(np.float64)
+        if code == 3:  # IEEE float: already full-scale [-1, 1]
+            pass
+        elif code == 1 and bits == 8:  # PCM-8 is unsigned offset-binary
+            s = (s - 128.0) / 128.0
+        elif code == 1:  # PCM 16/24/32: signed, full scale 2^(bits-1)
+            s = s / float(1 << (bits - 1))
+        else:  # G.711 a/u-law expand to linear int16
+            s = s / 32768.0
         return np.array(
             [rate / 1e3, float(n), float(ch), float(s.mean()),
              float(np.sqrt((s ** 2).mean())), 0.0, 0.0, 0.0]

@@ -494,15 +494,77 @@ class TestCodecs:
         with pytest.raises(NotImplementedError):
             wav_decode(bytes(blob))
 
+    def test_trns_validation(self):
+        """tRNS longer than PLTE is rejected at encode time with a
+        clear error, and a foreign file with the same defect gets a
+        clean decode error (not a numpy broadcast crash)."""
+        import struct
+        import zlib
+
+        import numpy as np
+        import pytest
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            png_decode,
+            png_encode_palette,
+        )
+
+        idx = np.zeros((2, 2), np.uint8)
+        pal = np.zeros((8, 3), np.uint8)
+        with pytest.raises(ValueError, match="tRNS longer than PLTE"):
+            png_encode_palette(idx, pal, trns=np.arange(12, dtype=np.uint8))
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+        blob = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", bytes(6))  # 2 entries
+            + chunk(b"tRNS", bytes(5))  # 5 alphas > 2 entries
+            + chunk(b"IDAT", zlib.compress(bytes([0, 0, 1])))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="tRNS longer than PLTE"):
+            png_decode(blob)
+
+    def test_wav_feature_fullscale_normalization(self, spark):
+        """extract_features normalizes audio by each format's full
+        scale: a full-scale float32 sine and the same wave as PCM-16
+        produce (nearly) the same rms feature; PCM-8 silence is 0."""
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import wav_encode
+
+        t = np.arange(800)
+        wave = np.sin(2 * np.pi * t / 50.0)
+        blobs = [
+            (0, wav_encode((wave * 32767).astype(np.int16), 8000)),
+            (1, wav_encode(wave.astype(np.float32), 8000, fmt="float32")),
+            (2, wav_encode(np.full((64, 1), 128, np.uint8), 8000, fmt="pcm8")),
+        ]
+        media = spark.createDataFrame(
+            [(i, "audio", bytearray(b), (0, 0, 0, "wav")) for i, b in blobs],
+            MM.MEDIA_SCHEMA,
+        )
+        rows = {r.media_id: r.feature for r in MM.extract_features(media).collect()}
+        rms16, rmsf = rows[0][4], rows[1][4]
+        assert abs(rms16 - rmsf) < 1e-3 and 0.6 < rmsf < 0.8
+        assert rows[2][3] == 0.0 and rows[2][4] == 0.0  # pcm8 silence
+
     def test_g711_companding(self):
         """G.711 µ-law/a-law: decode tables AND the segment-search
         encoders are byte-exact with the stdlib audioop reference over
         the FULL domains (all 256 code bytes, all 65536 int16 samples);
         the WAV container round-trips format codes 6/7 with linear
         int16 expansion."""
-        import audioop
-
         import numpy as np
+        import pytest
+
+        audioop = pytest.importorskip("audioop")  # removed in 3.13
 
         from relation_extraction_cdr_spark.functions.codecs import (
             _ALAW_DEC,
@@ -943,6 +1005,104 @@ class TestJpegCodec:
             jpeg_decode(jpeg_encode_progressive(flat)),
             jpeg_decode(jpeg_encode(flat)),
         )
+
+    def test_jpeg_custom_scan_scripts(self):
+        """Caller-supplied progressive scan scripts: single-component
+        DC scans on a subsampled image use the component's own grid
+        (matching the decoder and T.81 A.2.2) — coefficients still
+        match the sequential encoder's; a multi-component AC scan is
+        rejected at encode time instead of emitting an undecodable
+        stream."""
+        import numpy as np
+        import pytest
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            _comp_block_grid,
+            jpeg_decode,
+            jpeg_decode_coeffs,
+            jpeg_encode,
+            jpeg_encode_progressive,
+        )
+
+        rng = np.random.default_rng(61)
+        px = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+        scans = [
+            ([0], 0, 0, 0, 1), ([1], 0, 0, 0, 1), ([2], 0, 0, 0, 1),
+            ([0], 1, 63, 0, 0), ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0),
+            (None, 0, 0, 1, 0),
+        ]
+        base = jpeg_encode(px, subsampling="420")
+        prog = jpeg_encode_progressive(px, subsampling="420", scans=scans)
+        h, w, bb, _q, samps = jpeg_decode_coeffs(base)
+        _h, _w, pb, _q2, _s2 = jpeg_decode_coeffs(prog)
+        hmax = max(s[0] for s in samps)
+        vmax = max(s[1] for s in samps)
+        for ci, (x, y) in enumerate(zip(bb, pb)):
+            gh, gw = _comp_block_grid(h, w, *samps[ci], hmax, vmax)
+            assert np.array_equal(x[:gh, :gw], y[:gh, :gw]), ci
+        assert np.array_equal(jpeg_decode(base), jpeg_decode(prog))
+        with pytest.raises(ValueError):
+            jpeg_encode_progressive(
+                px, scans=[(None, 0, 0, 0, 0), ([0, 1], 1, 63, 0, 0)]
+            )
+
+    def test_jpeg_baseline_noninterleaved_scans(self):
+        """A baseline (SOF0) file with three separate single-component
+        scans — the layout other encoders emit for multi-scan baseline
+        — decodes each scan over the component's OWN block grid, not
+        the MCU grid: coefficients match the interleaved encoder's on
+        every real block."""
+        import struct as _struct
+
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            _AC_CHROMA,
+            _AC_LUMA,
+            _BitWriter,
+            _DC_CHROMA,
+            _DC_LUMA,
+            _canonical_codes,
+            _comp_block_grid,
+            _encode_block,
+            _jpeg_components,
+            jpeg_decode_coeffs,
+            jpeg_encode,
+        )
+
+        rng = np.random.default_rng(67)
+        px = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+        comps, ql, qc, hs, vs, _g = _jpeg_components(px, None, None, "420")
+        h, w = px.shape[:2]
+        ref = jpeg_encode(px, subsampling="420")
+        # headers straight from the interleaved file, scans replaced
+        sos_at = ref.find(b"\xff\xda")
+        out = bytearray(ref[:sos_at])
+        from relation_extraction_cdr_spark.functions.codecs import _ZIGZAG  # noqa: F401
+
+        for ci in range(3):
+            dc_t = _DC_LUMA if ci == 0 else _DC_CHROMA
+            ac_t = _AC_LUMA if ci == 0 else _AC_CHROMA
+            dc_codes = _canonical_codes(*dc_t)
+            ac_codes = _canonical_codes(*ac_t)
+            sos = bytes([1, ci + 1, 0x00 if ci == 0 else 0x11, 0, 63, 0])
+            out += b"\xff\xda" + _struct.pack(">H", len(sos) + 2) + sos
+            hi, vi = (hs, vs) if ci == 0 else (1, 1)
+            gh, gw = _comp_block_grid(h, w, hi, vi, hs, vs)
+            bw_ = _BitWriter()
+            prev = 0
+            for by in range(gh):
+                for bx in range(gw):
+                    prev = _encode_block(
+                        bw_, comps[ci][by, bx], prev, dc_codes, ac_codes
+                    )
+            out += bw_.flush()
+        out += b"\xff\xd9"
+        _h, _w, blocks, _q, samps = jpeg_decode_coeffs(bytes(out))
+        ref_blocks = jpeg_decode_coeffs(ref)[2]
+        for ci, (x, y) in enumerate(zip(ref_blocks, blocks)):
+            gh, gw = _comp_block_grid(h, w, *samps[ci], hs, vs)
+            assert np.array_equal(x[:gh, :gw], y[:gh, :gw]), ci
 
     def test_jpeg_subsampled_lossy_bounded(self):
         """Smooth-gradient content stays within a loose quantization +
