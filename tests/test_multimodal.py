@@ -1104,6 +1104,82 @@ class TestJpegCodec:
             gh, gw = _comp_block_grid(h, w, *samps[ci], hs, vs)
             assert np.array_equal(x[:gh, :gw], y[:gh, :gw]), ci
 
+    def test_jpeg_refine_scan_adversarial(self):
+        """Scan-level adversarial sweep of the successive-approximation
+        machinery, bypassing the image layer to force the rare paths:
+        sparse blocks with long zero-history gaps (ZRL inside
+        refinement scans), history coefficients inside the gaps
+        (correction bits straddling ZRL emissions), and whole-scan
+        multi-block EOBn runs whose buffered bits cross byte-stuffing
+        boundaries.  Encoder output is unstuffed exactly as
+        _entropy_segments does before decoding."""
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            _AcRefineState,
+            _BitReader,
+            _BitWriter,
+            _UNIFORM_AC,
+            _canonical_codes,
+            _dec_ac_first,
+            _dec_ac_refine,
+            _decode_table,
+            _emit_eobrun,
+            _encode_ac_first,
+            _encode_ac_refine,
+        )
+
+        ac_codes = _canonical_codes(*_UNIFORM_AC)
+        actab = _decode_table(*_UNIFORM_AC)
+
+        def unstuff(raw):
+            out = bytearray()
+            i = 0
+            while i < len(raw):
+                out.append(raw[i])
+                i += 2 if (raw[i] == 0xFF and i + 1 < len(raw)
+                           and raw[i + 1] == 0x00) else 1
+            return bytes(out)
+
+        def roundtrip(blocks):
+            state = np.zeros_like(blocks)
+            for ah, al in ((0, 2), (2, 1), (1, 0)):
+                bw = _BitWriter()
+                st = _AcRefineState()
+                enc = _encode_ac_first if ah == 0 else _encode_ac_refine
+                for b in range(blocks.shape[0]):
+                    enc(bw, blocks[b], 1, 63, al, ac_codes, st)
+                _emit_eobrun(bw, ac_codes, st)
+                br = _BitReader(unstuff(bw.flush()))
+                dec = _dec_ac_first if ah == 0 else _dec_ac_refine
+                eob = 0
+                for b in range(blocks.shape[0]):
+                    eob = dec(br, state[b], 1, 63, al, actab, eob)
+            return state
+
+        rng = np.random.default_rng(0)
+        for _ in range(150):
+            n = int(rng.integers(1, 12))
+            blocks = np.zeros((n, 64), np.int64)
+            for b in range(n):
+                pos = rng.choice(
+                    np.arange(1, 64), size=rng.integers(0, 6), replace=False
+                )
+                for k in pos:
+                    blocks[b][k] = (
+                        rng.choice([2, 3, -2, -3])
+                        if rng.random() < 0.5
+                        else rng.choice([4, 5, 6, 7, -4, -5, -6, -7])
+                    )
+            assert (roundtrip(blocks)[:, 1:] == blocks[:, 1:]).all()
+        # deterministic ZRL-in-refinement fixture: newly-nonzero 38
+        # zero-history positions after the last history coefficient
+        blocks = np.zeros((3, 64), np.int64)
+        blocks[0][1], blocks[0][30], blocks[0][40] = 4, 5, 2
+        blocks[1][60] = 3
+        blocks[2][5], blocks[2][50] = -2, -3
+        assert (roundtrip(blocks)[:, 1:] == blocks[:, 1:]).all()
+
     def test_jpeg_subsampled_lossy_bounded(self):
         """Smooth-gradient content stays within a loose quantization +
         chroma-resolution envelope under 4:2:0."""
