@@ -293,6 +293,11 @@ def png_decode(payload: bytes) -> np.ndarray:
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG: bad CRC in {tag!r} chunk")
         pos += 12 + length  # length + tag + body + crc
         if tag == b"IHDR":
             w, h, depth, color, comp, filt, interlace = struct.unpack(

@@ -139,6 +139,15 @@ class TestCodecs:
             png_decode(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_p16))
         with pytest.raises(ValueError):
             png_decode(b"notapng")
+        # CRC validation: flip a byte inside a chunk body
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import png_encode
+
+        blob2 = bytearray(png_encode(np.zeros((4, 4, 3), np.uint8)))
+        blob2[20] ^= 0xFF
+        with pytest.raises(ValueError, match="bad CRC"):
+            png_decode(bytes(blob2))
 
     def test_png_interlaced_pinned(self):
         """Hand-constructed 3x3 Adam7 greyscale PNG (filter 0 rows,
