@@ -14,7 +14,9 @@ REAL for the formats that need nothing beyond ``zlib``/``struct``/numpy:
 - WAV (RIFF): PCM 8/16/24/32-bit, IEEE float32, and G.711 a-law /
   u-law companding (byte-exact with the CCITT reference), any channel
   count/rate (ADPCM and friends raise).
-- JPEG (ITU-T T.81): baseline sequential (SOF0) AND progressive (SOF2
+- JPEG (ITU-T T.81): sequential (SOF0 baseline / SOF1 extended — the
+  encoder auto-selects SOF1 when a Pq=1 quant table is required, since
+  baseline forbids it) AND progressive (SOF2
   — spectral selection + successive approximation, EOBn run-length,
   correction bits), 8-bit, greyscale or YCbCr at 4:4:4 / 4:2:2 / 4:2:0
   chroma sampling (MCU-interleaved scan; box-mean chroma downsample on
@@ -287,11 +289,17 @@ def png_decode(payload: bytes) -> np.ndarray:
     color = -1
     ch = 0
     idat = bytearray()
+    ended = False
     plte: np.ndarray | None = None
     trns: np.ndarray | None = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
+        if pos + 12 + length > len(payload):
+            # bounds BEFORE the CRC slice: a truncated file must raise
+            # the codec's ValueError contract, not struct.error (and a
+            # short final chunk must not be misreported as a bad CRC)
+            raise ValueError(f"PNG: truncated {tag!r} chunk")
         body = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(
             ">I", payload[pos + 8 + length : pos + 12 + length]
@@ -314,13 +322,25 @@ def png_decode(payload: bytes) -> np.ndarray:
         elif tag == b"PLTE":
             plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif tag == b"tRNS":
+            if color != 3:
+                # for grey/RGB the chunk holds 16-bit sample values, a
+                # different layout than the palette alpha bytes below —
+                # a documented seam, not a silent drop (PNG 11.3.2)
+                raise NotImplementedError(
+                    f"png_decode: tRNS for color type {color}"
+                )
             trns = np.frombuffer(body, np.uint8)
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
+            ended = True
             break
     if w is None:
         raise ValueError("not a PNG: missing IHDR")
+    if not ended:
+        # the walk ran off the end mid-header: every valid PNG closes
+        # with IEND, so a missing one means the file was cut short
+        raise ValueError("PNG: truncated stream (no IEND)")
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
     raw = zlib.decompress(bytes(idat))
@@ -640,13 +660,14 @@ def avi_decode(payload: bytes) -> tuple[np.ndarray, float]:
         raise ValueError("not an AVI: bad RIFF/AVI header")
     w = h = None
     fps = 0.0
+    stream_type = b""  # fccType of the enclosing strl's strh
     frames: list[np.ndarray] = []
 
     def walk(lo: int, hi: int) -> None:
         # offset-based walk: no intermediate byte copies — a large
         # uncompressed AVI would otherwise be duplicated per nesting
         # level (payload -> LIST body -> movi body -> frame)
-        nonlocal w, h, fps
+        nonlocal w, h, fps, stream_type
         p = lo
         while p + 8 <= hi:
             fourcc = payload[p : p + 4]
@@ -659,12 +680,16 @@ def avi_decode(payload: bytes) -> tuple[np.ndarray, float]:
                 vals = struct.unpack("<14I", payload[d0 : d0 + 56])
                 w, h = vals[8], vals[9]
             elif fourcc == b"strh":
-                if payload[d0 : d0 + 4] == b"vids":
+                stream_type = payload[d0 : d0 + 4]
+                if stream_type == b"vids":
                     scale, rate = struct.unpack(
                         "<II", payload[d0 + 20 : d0 + 28]
                     )
                     fps = rate / scale if scale else 0.0
-            elif fourcc == b"strf":
+            elif fourcc == b"strf" and stream_type == b"vids":
+                # only the video stream's strf is a BITMAPINFOHEADER;
+                # an audio strl's strf (WAVEFORMATEX) has a different
+                # layout and must not be parsed as bits/compression
                 bits, comp = struct.unpack(
                     "<HI", payload[d0 + 14 : d0 + 20]
                 )
@@ -972,13 +997,19 @@ def jpeg_encode(
     # DQT (8-bit precision)
     for tq, q in ([(0, ql)] if grey else [(0, ql), (1, qc)]):
         out += _dqt_segment(tq, q)
-    # SOF0
+    # SOF0 — or SOF1 (extended sequential) when a quant entry exceeds
+    # 255: T.81 B.2.4.1 forbids Pq=1 DQT in a baseline stream, and the
+    # entropy-coded scan is bit-identical between the two modes at
+    # 8-bit precision, so the switch only changes the SOF marker
     ncomp = 1 if grey else 3
+    pq16 = int(ql.max()) > 255 or (not grey and int(qc.max()) > 255)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         samp = ((hs << 4) | vs) if ci == 0 else 0x11
         sof += bytes([ci + 1, samp, 0 if ci == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += (b"\xff\xc1" if pq16 else b"\xff\xc0") + struct.pack(
+        ">H", len(sof) + 2
+    ) + sof
     # DHT
     tables = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
     if not grey:
@@ -1434,7 +1465,7 @@ def _dec_ac_refine(br, zz, ss, se, al, actab, eobrun):
 
 
 def jpeg_decode_coeffs(payload: bytes):
-    """Parse a baseline (SOF0) or progressive (SOF2) JPEG down to its
+    """Parse a sequential (SOF0/SOF1) or progressive (SOF2) JPEG down to its
     quantized coefficient blocks: returns (h, w, [per-component
     [bh, bw, 64] zigzag coeff arrays], [per-component dequant tables],
     [per-component (h_i, v_i) sampling factors]).  Progressive files
@@ -1603,7 +1634,11 @@ def jpeg_decode_coeffs(payload: bytes):
                 vals = list(body[o + 17 : o + 17 + nv])
                 huff[(tc, th)] = _decode_table(bits, vals)
                 o += 17 + nv
-        elif m in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif m in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2
+            # progressive — at 8-bit precision SOF1 decodes exactly
+            # like SOF0 (same huffman scan), it merely licenses Pq=1
+            # quant tables that baseline forbids
             progressive = m == 0xC2
             _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             for ci in range(nc):
@@ -1624,9 +1659,9 @@ def jpeg_decode_coeffs(payload: bytes):
                 np.zeros((mcuy * vi, mcux * hi, 64), np.int64)
                 for hi, vi in samps
             ]
-        elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"jpeg_decode: SOF marker 0xFF{m:02X} (SOF0/SOF2 only)"
+                f"jpeg_decode: SOF marker 0xFF{m:02X} (SOF0/SOF1/SOF2 only)"
             )
         elif m == 0xDD:  # DRI
             (ri,) = struct.unpack(">H", body[:2])

@@ -20,6 +20,8 @@ Schema contract:
 
 from __future__ import annotations
 
+import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -34,7 +36,10 @@ MEDIA_SCHEMA = (
     "meta struct<width:int,height:int,duration_ms:int,codec:string>"
 )
 
-FEATURES_SCHEMA = "media_id long, kind string, feature array<float>, n_frames int"
+FEATURES_SCHEMA = (
+    "media_id long, kind string, feature array<float>, n_frames int, "
+    "decode_err string"
+)
 
 
 def gen_media_df(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
@@ -151,28 +156,46 @@ def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
 def extract_features(media: DataFrame, frame_stride: int = 2) -> DataFrame:
     """decode → (video) frame-sample → feature-extract, one narrow
     mapInPandas stage.  Batches arrive as Arrow; numpy vectorizes within
-    the batch; no shuffle."""
+    the batch; no shuffle.
+
+    Poison-safe: at 100-TB web scale some payloads WILL be truncated,
+    bit-flipped, or use a codec behind the documented seam.  Each
+    payload decodes inside its own try — a failure quarantines that row
+    (feature=[], n_frames=0, ``decode_err`` = 'ExcType: message')
+    instead of killing the Spark task and, with it, every healthy
+    payload sharing the partition across all retries.  Healthy rows
+    carry ``decode_err`` NULL and are bit-identical to a poison-free
+    run.  Only decode errors are captured (ValueError / struct /
+    zlib / NotImplementedError surface-level garbage); genuine bugs
+    (MemoryError, KeyboardInterrupt, ...) still propagate."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
                 payload = bytes(r.payload)
-                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-                    # REAL frame decode + stride sampling (AVI/DIB)
-                    feat, n_frames = _decode_video(payload, frame_stride)
-                else:
-                    feat = _decode(payload, r.kind)
-                    n_frames = 1
-                    if r.kind == "video":
-                        # frame sampling over fake frames derived from
-                        # duration; real containers take the branch above
-                        n_frames = max(1, int(r.meta["duration_ms"] // 1000) // frame_stride)
+                try:
+                    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                        # REAL frame decode + stride sampling (AVI/DIB)
+                        feat, n_frames = _decode_video(payload, frame_stride)
+                    else:
+                        feat = _decode(payload, r.kind)
+                        n_frames = 1
+                        if r.kind == "video":
+                            # frame sampling over fake frames derived from
+                            # duration; real containers take the branch above
+                            n_frames = max(1, int(r.meta["duration_ms"] // 1000) // frame_stride)
+                    feat_list, err = [float(x) for x in feat], None
+                except (ValueError, NotImplementedError, struct.error,
+                        zlib.error, IndexError, KeyError) as e:
+                    feat_list, n_frames = [], 0
+                    err = f"{type(e).__name__}: {e}"
                 out.append(
                     {"media_id": int(r.media_id), "kind": r.kind,
-                     "feature": [float(x) for x in feat], "n_frames": n_frames}
+                     "feature": feat_list, "n_frames": n_frames,
+                     "decode_err": err}
                 )
-            cols = ["media_id", "kind", "feature", "n_frames"]
+            cols = ["media_id", "kind", "feature", "n_frames", "decode_err"]
             yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)

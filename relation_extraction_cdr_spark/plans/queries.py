@@ -4668,7 +4668,15 @@ def q93(spark, sf_dir):
         denom = 2 * tp + fp + fn
         return {"f1-score": (2 * tp / denom) if denom else 0.0}
 
-    ckpt = _os.path.join(tempfile.mkdtemp(prefix="q93_ckpt_"), "best.npz")
+    # the npz is re-read lazily by UDF workers when the caller executes
+    # the returned DataFrame, so the dir can't be removed here; atexit
+    # reclaims it instead of leaking one tempdir per gate/bench run
+    import atexit
+    import shutil as _shutil
+
+    _ckpt_dir = tempfile.mkdtemp(prefix="q93_ckpt_")
+    atexit.register(_shutil.rmtree, _ckpt_dir, ignore_errors=True)
+    ckpt = _os.path.join(_ckpt_dir, "best.npz")
     base = resolve_weights(cfg, seed=9)
     best = BestCheckpoint(ckpt)
 

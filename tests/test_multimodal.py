@@ -39,6 +39,71 @@ def test_unknown_kind_raises():
         MM._fake_decode(b"xx", "hologram")
 
 
+def test_media_survives_poison_payloads(spark):
+    """100 TB media hygiene (mirror of test_pipeline_survives_poison_
+    rows): truncated PNG, bad-CRC PNG, and an MJPG (compressed) AVI
+    mixed into a healthy batch must NOT kill the mapInPandas stage —
+    healthy features come back bit-unchanged vs a poison-free run and
+    every poison row is quarantined with a decode_err string, an empty
+    feature vector, and n_frames=0."""
+    import numpy as np
+
+    from relation_extraction_cdr_spark.functions.codecs import (
+        avi_encode,
+        png_encode,
+        wav_encode,
+    )
+
+    rng = np.random.default_rng(11)
+    png = png_encode(rng.integers(0, 256, (6, 5, 3)).astype(np.uint8))
+    wav = wav_encode(
+        (np.sin(np.arange(200) / 9.0) * 20000).astype(np.int16), 8000
+    )
+    avi = avi_encode(rng.integers(0, 256, (4, 4, 4, 3)).astype(np.uint8), fps=5)
+
+    truncated_png = png[: len(png) - 7]
+    bad_crc_png = bytearray(png)
+    bad_crc_png[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    mjpg_avi = bytearray(avi)
+    i = mjpg_avi.find(b"strf")
+    mjpg_avi[i + 8 + 16 : i + 8 + 20] = b"MJPG"  # biCompression
+
+    healthy = [
+        (0, "image", bytearray(png)),
+        (1, "audio", bytearray(wav)),
+        (2, "video", bytearray(avi)),
+        (3, "image", bytearray(b"not-media-at-all")),  # fake-decode path
+    ]
+    poison = [
+        (10, "image", bytearray(truncated_png)),
+        (11, "image", bytearray(bad_crc_png)),
+        (12, "video", bytearray(mjpg_avi)),
+    ]
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, k, p, (4, 4, 5000, "x")) for i, k, p in rows],
+            MM.MEDIA_SCHEMA,
+        )
+
+    clean = {r["media_id"]: r for r in MM.extract_features(mk(healthy)).collect()}
+    mixed = {
+        r["media_id"]: r
+        for r in MM.extract_features(mk(healthy + poison)).collect()
+    }
+    assert len(mixed) == 7
+    for mid, r in clean.items():
+        assert r["decode_err"] is None
+        assert mixed[mid]["feature"] == r["feature"]  # bit-identical
+        assert mixed[mid]["n_frames"] == r["n_frames"]
+        assert mixed[mid]["decode_err"] is None
+    assert "truncated" in mixed[10]["decode_err"]
+    assert "CRC" in mixed[11]["decode_err"]
+    assert "NotImplementedError" in mixed[12]["decode_err"]
+    for mid in (10, 11, 12):
+        assert mixed[mid]["feature"] == [] and mixed[mid]["n_frames"] == 0
+
+
 def test_resize_meta(spark):
     media = MM.gen_media_df(spark, 8)
     plan = MM.resize_meta(media, max_side=128).collect()
@@ -540,6 +605,100 @@ class TestCodecs:
         with pytest.raises(ValueError, match="tRNS longer than PLTE"):
             png_decode(blob)
 
+    def test_png_truncated_and_foreign_trns(self):
+        """Hostile-input contract: a PNG cut mid-chunk raises the
+        codec's ValueError (never struct.error, and never a misreported
+        'bad CRC' on a short final chunk), and tRNS on a grey/RGB file
+        — where the chunk holds 16-bit sample values, not palette
+        alphas — raises the documented-seam NotImplementedError instead
+        of being silently dropped."""
+        import struct
+        import zlib
+
+        import numpy as np
+        import pytest
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            png_decode,
+            png_encode,
+        )
+
+        rng = np.random.default_rng(7)
+        blob = png_encode(rng.integers(0, 256, (5, 7, 3)).astype(np.uint8))
+        # cut inside every region of the last chunk: length word, tag,
+        # body, and CRC
+        for cut in (len(blob) - 1, len(blob) - 5, len(blob) - 11):
+            with pytest.raises(ValueError, match="truncated"):
+                png_decode(blob[:cut])
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        grey = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+        blob = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", grey)
+            + chunk(b"tRNS", struct.pack(">H", 99))
+            + chunk(b"IDAT", zlib.compress(bytes([0, 7, 9])))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError, match="tRNS for color type 0"):
+            png_decode(blob)
+
+    def test_avi_audio_stream_strf_ignored(self):
+        """An AVI that carries an audio stream alongside the video one
+        still decodes: the audio strl's strf is a WAVEFORMATEX, not a
+        BITMAPINFOHEADER, so parsing it as bits/compression would
+        spuriously raise NotImplementedError."""
+        import struct
+
+        import numpy as np
+
+        from relation_extraction_cdr_spark.functions.codecs import (
+            avi_decode,
+            avi_encode,
+        )
+
+        def riff_chunk(tag, body):
+            pad = b"\x00" if len(body) % 2 else b""
+            return tag + struct.pack("<I", len(body)) + body + pad
+
+        def riff_list(tag, body):
+            return riff_chunk(b"LIST", tag + body)
+
+        rng = np.random.default_rng(31)
+        frames = rng.integers(0, 256, (3, 4, 4, 3)).astype(np.uint8)
+        blob = avi_encode(frames, fps=10)
+        # splice an audio strl (strh fccType 'auds' + WAVEFORMATEX
+        # strf: PCM fmt tag 1, 1ch, 8kHz — fields that would read as
+        # bits=8000&0xFFFF, comp=garbage if misparsed as a DIB header)
+        auds_strh = b"auds" + b"\x00" * 52
+        wfx = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        audio_strl = riff_list(
+            b"strl", riff_chunk(b"strh", auds_strh) + riff_chunk(b"strf", wfx)
+        )
+        movi_at = blob.find(b"LIST", 12)
+        # walk to the movi LIST (the one whose list-type is 'movi')
+        p = 12
+        while True:
+            tag = blob[p : p + 4]
+            (ln,) = struct.unpack("<I", blob[p + 4 : p + 8])
+            if tag == b"LIST" and blob[p + 8 : p + 12] == b"movi":
+                movi_at = p
+                break
+            p += 8 + ln + (ln & 1)
+        patched = blob[:movi_at] + audio_strl + blob[movi_at:]
+        patched = (
+            patched[:4]
+            + struct.pack("<I", len(patched) - 8)
+            + patched[8:]
+        )
+        got, fps = avi_decode(patched)
+        assert fps == 10.0
+        assert np.array_equal(got, frames)
+
     def test_wav_feature_fullscale_normalization(self, spark):
         """extract_features normalizes audio by each format's full
         scale: a full-scale float32 sine and the same wave as PCM-16
@@ -615,7 +774,10 @@ class TestCodecs:
     def test_jpeg_16bit_quant_tables(self):
         """DQT Pq=1 (16-bit big-endian entries) parses on both decode
         paths; the encoder switches precision automatically when an
-        entry exceeds 255."""
+        entry exceeds 255 — and, because T.81 B.2.4.1 forbids Pq=1 in
+        a baseline stream, the sequential encoder then emits SOF1
+        (extended sequential) instead of SOF0 so third-party decoders
+        accept the file."""
         import numpy as np
 
         from relation_extraction_cdr_spark.functions.codecs import (
@@ -633,6 +795,12 @@ class TestCodecs:
             _h, _w, _blocks, quants, _s = jpeg_decode_coeffs(enc)
             assert all(np.array_equal(q, qbig) for q in quants)
             assert jpeg_decode(enc).shape == (17, 29, 3)
+        # marker-level pin: >255 quant -> SOF1, never SOF0+Pq=1;
+        # 8-bit quant keeps plain baseline SOF0
+        big = jpeg_encode(px, quant_luma=qbig, quant_chroma=qbig)
+        assert b"\xff\xc1" in big and b"\xff\xc0" not in big
+        small = jpeg_encode(px)
+        assert b"\xff\xc0" in small and b"\xff\xc1" not in small
         # closed form through a 16-bit table: flat 200 grey at q=256 ->
         # DC = rint(8*(200-128)/256) = 2 -> back 2*256/8 + 128 = 192
         flat = np.full((16, 16), 200, np.uint8)
@@ -1249,11 +1417,16 @@ class TestJpegCodec:
         )
 
         enc = bytearray(jpeg_encode(np.zeros((8, 8), np.uint8)))
-        # SOF0 -> SOF1 (extended sequential: still the documented seam)
+        # SOF0 -> SOF1: extended sequential decodes exactly like
+        # baseline at 8-bit precision (supported since the encoder
+        # emits it for Pq=1 quant tables)
         i = bytes(enc).find(b"\xff\xc0")
         enc2 = bytes(enc[:i]) + b"\xff\xc1" + bytes(enc[i + 2 :])
+        assert np.array_equal(jpeg_decode(enc2), jpeg_decode(bytes(enc)))
+        # SOF3 (lossless) stays the documented seam
+        enc2a = bytes(enc[:i]) + b"\xff\xc3" + bytes(enc[i + 2 :])
         with pytest.raises(NotImplementedError):
-            jpeg_decode(enc2)
+            jpeg_decode(enc2a)
         # SOF0 -> SOF2 with a full-band interleaved scan is MALFORMED
         # progressive (a progressive scan is DC-only or AC-only)
         enc2b = bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2 :])
