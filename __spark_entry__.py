@@ -30,82 +30,80 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of queries().
-# Round-4 curation (VERDICT r3 item 2): (a) the four round-3 red rows,
-# now fixed to exact scaled-integer outputs; (b) every VALUE-ORACLED
-# query whose implementation changed this round (q37/q90 codec dispatch,
-# PNG Sub vectorization + widened PNG variants, new q93 lifecycle + q94
-# JPEG + q95 palette/16-bit/interlaced PNG + q96 sub-byte PNG & JPEG
-# restart intervals + q97 progressive JPEG + q98 real AVI video
-# frame-sampling); (c) the rotation slice of queries last
-# driver-checked in r02 — two rounds stale — q01, q03-q23, q25, q27,
-# q31-q36, q39, q42-q47, q49-q50 (39 queries; q02_filter_project
-# yields its slot to q98 — its filter+project surface is load-bearing
-# inside virtually every in-window query), restoring their gate
-# coverage.  The OTHER round-4-changed queries are
-# rows-only by design (q86/q88/q91 training/NER loops and q87/q89 — the
-# grouped scorer batching), so a driver row adds only rows>0 over the
-# pytest bit-exactness pins (test_train layout-independence, test_ner,
-# the scorer batched-bit-identical tests) — they and q28-q30/q40/q48/
-# q51-q86/q92 rest on green r03 driver rows plus pytest; q90
-# (r03-green) yields its window slot to q96, whose in-window paths are
-# a strict superset of q90's unfilter/bit-layout kernels (q90 stays
-# pinned by test_png_known_bytes + the roundtrip property suite); the
-# trained lifecycle is value-gated in-window via q93.  Everything not
+# Round-5 curation (VERDICT r4 item 2) closes the freshness gap exactly:
+# after r05 every VALUE-ORACLED query has a green driver row at most one
+# round old.  Membership: (a) the three rows whose newest green was r02
+# — q02_filter_project, q38_embed_neardup_lsh, q41_ivf_topk — rotated
+# back in; (b) every value-oracled query r05's code touched (q37 media
+# quarantine schema adds decode_err; q93 checkpoint-dir lifecycle; the
+# q94-q98 codec surface: PNG truncation bounds + IEND + tRNS seam, AVI
+# audio-strf stream typing, JPEG SOF1 auto-select for Pq=1 tables);
+# (c) ALL 39 value-oracled queries whose newest green row is r03 —
+# q24/q26/q28-q30/q48/q51-q65/q68-q73/q76-q85/q90/q92 — which would
+# otherwise go two rounds stale, including the q30 flagship; (d) one
+# continuity slot for q40_pipeline_triples, the fused end-to-end
+# pipeline (rows-only by design; its values are pinned bit-exact in
+# pytest).  The remaining 48 queries all rest on green r04 driver rows
+# (one round old) plus pytest: q01/q03-q23/q25/q27/q31-q36/q39/q42-q47/
+# q49-q50/q66-q67/q74-q75, and the rows-only-by-design training/encoder
+# loops q86-q89/q91 whose bit-exactness pins live in test_train /
+# test_ner / the scorer batched-bit-identical tests.  Everything not
 # listed still runs (appended in registry order).
 DRIVER_WINDOW = [
-    # round-3 red rows, fixed (exact ppm/e6 integer ratios)
-    "q66_word_rank_quality",
-    "q67_source_mixture",
-    "q74_ann_recall",
-    "q75_crossdoc_passages",
-    # round-4 new / implementation-changed (all value-oracled)
+    # r02-stale rows rotated back in (VERDICT r4 "What's wrong" #2)
+    "q02_filter_project",
+    "q38_embed_neardup_lsh",
+    "q41_ivf_topk",
+    # round-5 implementation-changed (all value-oracled)
+    "q37_multimodal_features",
     "q93_train_serve_lifecycle",
     "q94_jpeg_decode",
     "q95_png_variants",
     "q96_codec_edges",
     "q97_jpeg_progressive",
     "q98_avi_frames",
-    "q37_multimodal_features",
-    # rotation slice: last driver-checked in r02 (two rounds stale)
-    "q01_pricing_summary",
-    "q03_broadcast_join",
-    "q04_semi_join",
-    "q05_anti_join",
-    "q06_pergroup_cross_join",
-    "q07_window_topk",
-    "q08_dense_rank",
-    "q09_min_by",
-    "q10_topk_global",
-    "q11_union",
-    "q12_symmetric_pair_dedup",
-    "q13_tagged_split",
-    "q14_range_join",
-    "q15_asof_join",
-    "q16_sessionize",
-    "q17_lang_id",
-    "q18_quality",
-    "q19_token_count",
-    "q20_fingerprint",
-    "q21_exact_dedup",
-    "q22_shingles",
-    "q23_minhash",
-    "q25_simhash",
-    "q27_embed_stats",
-    "q31_levi_filter",
-    "q32_srp_buckets",
-    "q33_cdr_adjacency",
-    "q34_hash_split",
-    "q35_cooc_histogram",
-    "q36_embed_neardup",
-    "q39_windowed_counts",
-    "q42_neardup_clusters",
-    "q43_simhash_hamming",
-    "q44_kg_degree",
-    "q45_length_quantiles",
-    "q46_local_supplier_volume",
-    "q47_large_orders",
-    "q49_event_gaps",
-    "q50_rollup_revenue",
+    # fused-pipeline continuity (rows-only by design)
+    "q40_pipeline_triples",
+    # every value-oracled query whose newest green row is r03
+    "q24_jaccard_neardup",
+    "q26_ann_cosine_topk",
+    "q28_cdr_mentions",
+    "q29_cdr_candidates",
+    "q30_cdr_triples",
+    "q48_ner_features",
+    "q51_boilerplate_strip",
+    "q52_decontaminate",
+    "q53_time_rollup",
+    "q54_bloom_prefilter",
+    "q55_stratified_sample",
+    "q56_jaccard_lsh_verified",
+    "q57_wordpiece",
+    "q58_gda_roundtrip",
+    "q59_gda_pairs",
+    "q60_tacred_spans",
+    "q61_sentencepiece",
+    "q62_repetition_signals",
+    "q63_corpus_token_counts",
+    "q64_token_packing",
+    "q65_pagerank",
+    "q68_neardup_triangles",
+    "q69_hll_registers",
+    "q70_countmin_heavy_hitters",
+    "q71_balanced_mixture_sample",
+    "q72_lsh_first_owner",
+    "q73_blame_unique_supplier",
+    "q76_curation_verdicts",
+    "q77_below_avg_quantity",
+    "q78_bpe_pair_stats",
+    "q79_cooc_lift",
+    "q80_neardup_bfs",
+    "q81_triple_diff",
+    "q82_mesh_closure",
+    "q83_entity_canonical",
+    "q84_triple_provenance",
+    "q85_distinctive_terms",
+    "q90_png_decode",
+    "q92_wav_decode",
 ]
 
 
