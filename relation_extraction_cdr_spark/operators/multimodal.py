@@ -6,11 +6,16 @@ PNG + JPEG images, PCM/float WAV audio, and uncompressed-AVI video all
 decode for REAL via the stdlib-only codecs in functions/codecs.py —
 value-oracled by q90/q94-q98; video frame-sampling strides over ACTUAL
 decoded frames for AVI payloads.  Anything else (compressed video
-codecs, exotic containers) falls to a clearly-marked deterministic
-fake or NotImplementedError, the seam where PIL/pyav plug in; the
-Spark-side contract is identical either way: schemas, batch shapes,
-partitioning, and the UDF signatures are exactly what a production
-decoder uses.
+codecs, exotic containers/image formats) takes the FEATURE-DETECTED
+accelerated seam — ``accel_image()``/``accel_video()`` import PIL /
+pyav once per executor if installed (see BENCH/MEDIA.md for the
+measured cost case) — else a clearly-marked deterministic fake or a
+quarantined NotImplementedError.  PNG/JPEG/WAV/uncompressed-AVI are
+ALWAYS decoded by the pure-Python codecs (magic checks win before the
+accel hook), so the q90/q94-q98 oracle values are bit-identical with
+or without the accelerated libs; the Spark-side contract is identical
+either way: schemas, batch shapes, partitioning, and the UDF
+signatures are exactly what a production decoder uses.
 
 Schema contract:
   media(media_id long, kind string in {image,audio,video},
@@ -20,6 +25,8 @@ Schema contract:
 
 from __future__ import annotations
 
+import functools
+import io
 import struct
 import zlib
 from typing import Iterator
@@ -30,6 +37,34 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import codecs as _codecs
+
+
+@functools.lru_cache(maxsize=1)
+def accel_image():
+    """Feature-detect Pillow once per executor process.  Returns the
+    PIL.Image module or None.  The accelerated path only ever takes
+    payloads the pure-Python codecs do NOT decode (GIF/WebP/TIFF/BMP,
+    ...), so q90/q94-q98's value-oracled outputs are bit-identical with
+    or without Pillow installed."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+@functools.lru_cache(maxsize=1)
+def accel_video():
+    """Feature-detect PyAV once per executor process (None if absent).
+    Taken only when the pure-Python AVI walker raises
+    NotImplementedError (compressed codecs, non-AVI containers)."""
+    try:
+        import av  # noqa: PLC0415
+
+        return av
+    except ImportError:
+        return None
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
@@ -85,13 +120,7 @@ def _decode(payload: bytes, kind: str) -> np.ndarray:
     elif payload[:3] == _codecs.JPEG_MAGIC:
         px = _codecs.jpeg_decode(payload)
     if px is not None:
-        h, w, ch = px.shape
-        maxv = 65535.0 if px.dtype == np.uint16 else 255.0
-        means = px.reshape(-1, ch).mean(axis=0) / maxv
-        cmeans = [float(means[i]) if i < ch else 0.0 for i in range(4)]
-        return np.array(
-            [float(w), float(h), float(ch), float(px.mean() / maxv), *cmeans]
-        )
+        return _pixel_feature(px)
     if payload[:4] == _codecs.WAV_MAGIC and payload[8:12] == b"WAVE":
         samples, rate = _codecs.wav_decode(payload)
         code, bits = _codecs.wav_format(payload)
@@ -109,17 +138,86 @@ def _decode(payload: bytes, kind: str) -> np.ndarray:
             [rate / 1e3, float(n), float(ch), float(s.mean()),
              float(np.sqrt((s ** 2).mean())), 0.0, 0.0, 0.0]
         )
+    if kind == "image":
+        Image = accel_image()
+        if Image is not None:
+            # Accelerated seam: formats outside the pure-Python surface
+            # (GIF/WebP/TIFF/BMP, ...).  PNG/JPEG never reach here — the
+            # magic checks above win — so oracle outputs are identical
+            # with or without Pillow.
+            try:
+                with Image.open(io.BytesIO(payload)) as im:
+                    arr = np.asarray(im.convert("RGB") if im.mode == "P" else im)
+            except Exception as e:  # normalize to the quarantine contract
+                raise ValueError(f"accel image decode failed: {e}") from e
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            return _pixel_feature(arr)
     return _fake_decode(payload, kind)
 
 
+def _pixel_feature(px: np.ndarray) -> np.ndarray:
+    """Shared 8-dim image feature (``maxv`` = 255 or 65535 by depth)."""
+    h, w, ch = px.shape
+    maxv = 65535.0 if px.dtype == np.uint16 else 255.0
+    means = px.reshape(-1, ch).mean(axis=0) / maxv
+    cmeans = [float(means[i]) if i < ch else 0.0 for i in range(4)]
+    return np.array(
+        [float(w), float(h), float(ch), float(px.mean() / maxv), *cmeans]
+    )
+
+
+def _is_video_container(payload: bytes) -> bool:
+    """Real video container magics this stage routes to _decode_video:
+    RIFF-AVI (pure-Python path), ISO-BMFF/MP4 (``ftyp`` at offset 4),
+    and Matroska/WebM (EBML header) — the latter two only decode via
+    the pyav seam."""
+    return (
+        (payload[:4] == b"RIFF" and payload[8:12] == b"AVI ")
+        or payload[4:8] == b"ftyp"
+        or payload[:4] == b"\x1a\x45\xdf\xa3"
+    )
+
+
+def _accel_video_frames(av, payload: bytes) -> tuple[np.ndarray, float]:
+    """Decode frames via PyAV (the accelerated seam).  Error contract
+    matches the quarantine path: any decode failure is a ValueError."""
+    try:
+        with av.open(io.BytesIO(payload)) as container:
+            stream = container.streams.video[0]
+            fps = float(stream.average_rate or 0.0)
+            frames = [f.to_ndarray(format="rgb24") for f in container.decode(stream)]
+    except Exception as e:
+        raise ValueError(f"accel video decode failed: {e}") from e
+    if not frames:
+        raise ValueError("accel video decode produced no frames")
+    return np.stack(frames), fps
+
+
 def _decode_video(payload: bytes, frame_stride: int) -> tuple[np.ndarray, int]:
-    """REAL video decode + frame sampling for uncompressed AVI
-    (functions/codecs.py RIFF walker): keep every ``frame_stride``-th
-    frame, then feature over the SAMPLED frames only —
+    """REAL video decode + frame sampling: uncompressed AVI via the
+    pure-Python RIFF walker (functions/codecs.py); compressed codecs
+    and MP4/Matroska containers via PyAV when installed, else
+    NotImplementedError (quarantined upstream).  Keep every
+    ``frame_stride``-th frame, then feature over the SAMPLED frames
+    only —
       [w, h, n_sampled, fps, mean_all/255, mean_r/255, mean_g/255,
        mean_b/255].
     Returns (feature, n_sampled)."""
-    frames, fps = _codecs.avi_decode(payload)
+    frames = fps = None
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        try:
+            frames, fps = _codecs.avi_decode(payload)
+        except NotImplementedError:
+            if accel_video() is None:
+                raise
+    if frames is None:
+        av = accel_video()
+        if av is None:
+            raise NotImplementedError(
+                "compressed/non-AVI video requires pyav (accelerated seam)"
+            )
+        frames, fps = _accel_video_frames(av, payload)
     sampled = frames[::frame_stride]
     n, h, w, _ = sampled.shape
     means = sampled.reshape(-1, 3).mean(axis=0) / 255.0
@@ -175,8 +273,11 @@ def extract_features(media: DataFrame, frame_stride: int = 2) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 payload = bytes(r.payload)
                 try:
-                    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-                        # REAL frame decode + stride sampling (AVI/DIB)
+                    if _is_video_container(payload):
+                        # REAL frame decode + stride sampling: AVI/DIB via
+                        # the pure-Python walker; MP4/MKV/compressed via
+                        # the pyav seam (NotImplementedError -> quarantine
+                        # when pyav is absent)
                         feat, n_frames = _decode_video(payload, frame_stride)
                     else:
                         feat = _decode(payload, r.kind)

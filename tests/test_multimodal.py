@@ -112,6 +112,109 @@ def test_resize_meta(spark):
 
 
 # --------------------------------------------------------------------------
+# accelerated-decoder seam (PIL / pyav feature detection)
+# --------------------------------------------------------------------------
+
+
+def _mp4_payload() -> bytearray:
+    return bytearray(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 64)
+
+
+def test_accel_seam_without_libs(spark, monkeypatch):
+    """Sandbox contract when PIL/pyav are absent (forced via monkeypatch
+    so the test is deterministic even where the libs exist): a real
+    video container the pure-Python walker can't decode (MP4 magic)
+    quarantines with the NotImplementedError seam message, and a
+    magic-less image payload still takes the deterministic fake."""
+    monkeypatch.setattr(MM, "accel_image", lambda: None)
+    monkeypatch.setattr(MM, "accel_video", lambda: None)
+    rows = [
+        (0, "video", _mp4_payload()),
+        (1, "image", bytearray(b"not-a-real-image")),
+    ]
+    df = spark.createDataFrame(
+        [(i, k, p, (4, 4, 5000, "x")) for i, k, p in rows], MM.MEDIA_SCHEMA
+    )
+    out = {r["media_id"]: r for r in MM.extract_features(df).collect()}
+    assert "NotImplementedError" in out[0]["decode_err"]
+    assert "pyav" in out[0]["decode_err"]
+    assert out[0]["feature"] == [] and out[0]["n_frames"] == 0
+    assert out[1]["decode_err"] is None and len(out[1]["feature"]) == 8
+
+
+def test_accel_never_shadows_pure_python_codecs(monkeypatch):
+    """PNG/JPEG/WAV decode must be bit-identical with or without Pillow:
+    the magic checks win before the accel hook is ever consulted, so
+    installing PIL cannot perturb the q90/q94-q98 oracle values."""
+    import numpy as np
+
+    from relation_extraction_cdr_spark.functions.codecs import (
+        jpeg_encode,
+        png_encode,
+        wav_encode,
+    )
+
+    def bomb():
+        raise AssertionError("accel path consulted for a pure-python format")
+
+    monkeypatch.setattr(MM, "accel_image", bomb)
+    monkeypatch.setattr(MM, "accel_video", bomb)
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (8, 6, 3)).astype(np.uint8)
+    for payload in (
+        png_encode(px),
+        jpeg_encode(px),
+        wav_encode((rng.standard_normal(64) * 1000).astype(np.int16), 8000),
+    ):
+        feat = MM._decode(bytes(payload), "image")
+        assert feat.shape == (8,)
+
+
+def test_accel_image_seam():
+    """Pillow-backed decode of a format outside the pure-Python surface
+    (BMP).  Skips in the sandbox (no PIL); on clusters with Pillow the
+    seam is exercised for real."""
+    Image = MM.accel_image()
+    if Image is None:
+        pytest.skip("Pillow not installed (sandbox)")
+    import io as _io
+
+    import numpy as np
+
+    px = np.zeros((5, 4, 3), dtype=np.uint8)
+    px[:, :, 0] = 200
+    buf = _io.BytesIO()
+    Image.fromarray(px).save(buf, format="BMP")
+    feat = MM._decode(buf.getvalue(), "image")
+    assert feat[0] == 4.0 and feat[1] == 5.0 and feat[2] == 3.0
+    assert abs(feat[4] - 200.0 / 255.0) < 1e-9  # red-channel mean
+
+
+def test_accel_video_seam():
+    """PyAV-backed decode of an MP4.  Skips in the sandbox (no pyav)."""
+    av = MM.accel_video()
+    if av is None:
+        pytest.skip("pyav not installed (sandbox)")
+    import io as _io
+
+    import numpy as np
+
+    buf = _io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=5)
+        stream.width, stream.height = 16, 16
+        stream.pix_fmt = "yuv420p"
+        for i in range(6):
+            frame = av.VideoFrame.from_ndarray(
+                np.full((16, 16, 3), i * 30, dtype=np.uint8), format="rgb24"
+            )
+            container.mux(stream.encode(frame))
+        container.mux(stream.encode())
+    feat, n = MM._decode_video(buf.getvalue(), frame_stride=2)
+    assert n == 3 and feat[0] == 16.0 and feat[1] == 16.0
+
+
+# --------------------------------------------------------------------------
 # real codecs (functions/codecs.py): PNG + WAV, stdlib-only
 # --------------------------------------------------------------------------
 
