@@ -236,7 +236,13 @@ def fulltext_features(
     entities array<struct<mesh_id, type, positions array<struct<start,
     end>>>>, gold_pairs array<struct<chem_mesh, dis_mesh>> | null).
     Output: FULLTEXT_SCHEMA, one row per surviving document.  Narrow
-    mapInPandas stage; same scale shape as ``featurize``."""
+    mapInPandas stage; same scale shape as ``featurize``.
+
+    The per-row ``itertuples`` loop is measured, not assumed, to be
+    off the critical path: on the real sf0.01 payload the featurize
+    kernel is 93.6% of batch wall (15.6x the iteration+unpack cost;
+    BENCH/ATTRIBUTION.md), and the heavier encoder-wrapping loops
+    (ner/scorer/evidence) dominate by more still."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [c.split(" ")[0] for c in FULLTEXT_SCHEMA.split(", ")]
