@@ -1641,6 +1641,13 @@ def jpeg_decode_coeffs(payload: bytes):
             # quant tables that baseline forbids
             progressive = m == 0xC2
             _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if _prec != 8:
+                # SOF1/SOF2 license 12-bit precision (T.81 Table B.2);
+                # this decoder's huffman/IDCT path is 8-bit only — a
+                # 12-bit stream must quarantine, not clip to garbage
+                raise NotImplementedError(
+                    f"jpeg_decode: {_prec}-bit precision (8-bit only)"
+                )
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 hi, vi = samp >> 4, samp & 0xF

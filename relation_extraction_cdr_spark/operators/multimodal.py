@@ -143,12 +143,27 @@ def _decode(payload: bytes, kind: str) -> np.ndarray:
         if Image is not None:
             # Accelerated seam: formats outside the pure-Python surface
             # (GIF/WebP/TIFF/BMP, ...).  PNG/JPEG never reach here — the
-            # magic checks above win — so oracle outputs are identical
-            # with or without Pillow.
+            # magic checks above win.  A payload Pillow cannot IDENTIFY
+            # falls through to the same deterministic fake it takes when
+            # Pillow is absent — installing the lib must not change the
+            # output for any payload the pure-Python path handles (q37's
+            # synthetic blobs included); only an identified-but-corrupt
+            # image quarantines.
             try:
                 with Image.open(io.BytesIO(payload)) as im:
-                    arr = np.asarray(im.convert("RGB") if im.mode == "P" else im)
-            except Exception as e:  # normalize to the quarantine contract
+                    if im.mode == "P":
+                        im = im.convert(
+                            "RGBA" if "transparency" in im.info else "RGB"
+                        )
+                    elif im.mode not in ("L", "LA", "RGB", "RGBA", "I;16"):
+                        # exotic modes (1/I/F/CMYK/YCbCr) -> known dtype
+                        # so _pixel_feature's maxv rule holds
+                        im = im.convert("RGB")
+                    arr = np.asarray(im)
+            except Exception as e:
+                if type(e).__name__ == "UnidentifiedImageError":
+                    return _fake_decode(payload, kind)
+                # identified but undecodable: quarantine contract
                 raise ValueError(f"accel image decode failed: {e}") from e
             if arr.ndim == 2:
                 arr = arr[:, :, None]
@@ -157,7 +172,9 @@ def _decode(payload: bytes, kind: str) -> np.ndarray:
 
 
 def _pixel_feature(px: np.ndarray) -> np.ndarray:
-    """Shared 8-dim image feature (``maxv`` = 255 or 65535 by depth)."""
+    """Shared 8-dim image feature (``maxv`` = 255 or 65535 by depth;
+    callers guarantee uint8/uint16 arrays — the accel branch converts
+    exotic Pillow modes first)."""
     h, w, ch = px.shape
     maxv = 65535.0 if px.dtype == np.uint16 else 255.0
     means = px.reshape(-1, ch).mean(axis=0) / maxv
@@ -168,10 +185,12 @@ def _pixel_feature(px: np.ndarray) -> np.ndarray:
 
 
 def _is_video_container(payload: bytes) -> bool:
-    """Real video container magics this stage routes to _decode_video:
+    """Video container magics this stage routes to _decode_video:
     RIFF-AVI (pure-Python path), ISO-BMFF/MP4 (``ftyp`` at offset 4),
     and Matroska/WebM (EBML header) — the latter two only decode via
-    the pyav seam."""
+    the pyav seam.  The caller additionally gates on kind=='video':
+    ISO-BMFF is also the container for M4A audio and HEIC/AVIF images,
+    which must reach their own kind's seam, not the video path."""
     return (
         (payload[:4] == b"RIFF" and payload[8:12] == b"AVI ")
         or payload[4:8] == b"ftyp"
@@ -263,9 +282,15 @@ def extract_features(media: DataFrame, frame_stride: int = 2) -> DataFrame:
     instead of killing the Spark task and, with it, every healthy
     payload sharing the partition across all retries.  Healthy rows
     carry ``decode_err`` NULL and are bit-identical to a poison-free
-    run.  Only decode errors are captured (ValueError / struct /
-    zlib / NotImplementedError surface-level garbage); genuine bugs
-    (MemoryError, KeyboardInterrupt, ...) still propagate."""
+    run.  The captured set (ValueError / struct / zlib /
+    NotImplementedError / IndexError / KeyError) is deliberately broad
+    because hostile bytes surface as any of them from deep inside the
+    codec walkers; the trade-off is that a systematic bug raising one
+    of these types would ALSO quarantine rather than fail loudly — the
+    guard for that is the observable quarantine rate (count
+    ``decode_err IS NOT NULL``), which a deployment should alert on.
+    Process-level errors (MemoryError, KeyboardInterrupt, ...) still
+    propagate."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -273,11 +298,13 @@ def extract_features(media: DataFrame, frame_stride: int = 2) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 payload = bytes(r.payload)
                 try:
-                    if _is_video_container(payload):
+                    if r.kind == "video" and _is_video_container(payload):
                         # REAL frame decode + stride sampling: AVI/DIB via
                         # the pure-Python walker; MP4/MKV/compressed via
                         # the pyav seam (NotImplementedError -> quarantine
-                        # when pyav is absent)
+                        # when pyav is absent).  Kind-gated: ISO-BMFF also
+                        # wraps M4A audio and HEIC images, which belong to
+                        # their own kind's decode seam.
                         feat, n_frames = _decode_video(payload, frame_stride)
                     else:
                         feat = _decode(payload, r.kind)

@@ -4,31 +4,36 @@ The spark-submit path (scripts/submit_pipeline.py --py-files
 dist/engine.zip) ships whatever zip is committed — nothing else checks
 that the archive matches the source tree, so an edit without a
 `python scripts/make_pyfiles.py` rebuild would silently deploy stale
-code.  This test makes that failure loud: it recomputes the exact
-member set make_pyfiles.py selects and compares per-member content
-hashes against the archive.
+code.  This test makes that failure loud: it loads the member-selection
+rule FROM scripts/make_pyfiles.py (one source of truth — the build and
+the check cannot drift) and compares per-member content hashes against
+the archive.
 """
 
 from __future__ import annotations
 
 import hashlib
+import importlib.util
 import zipfile
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
 
+def _make_pyfiles():
+    spec = importlib.util.spec_from_file_location(
+        "make_pyfiles", REPO / "scripts" / "make_pyfiles.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def _expected_members() -> dict[str, str]:
-    """The same selection rule as scripts/make_pyfiles.py: package .py
-    files plus tokenizer data files, archived relative to the repo."""
-    pkg = REPO / "relation_extraction_cdr_spark"
-    members: dict[str, str] = {}
-    for pattern in ("*.py", "data/*"):
-        for p in sorted(pkg.rglob(pattern)):
-            if p.is_file():
-                rel = p.relative_to(REPO).as_posix()
-                members[rel] = hashlib.sha256(p.read_bytes()).hexdigest()
-    return members
+    return {
+        rel: hashlib.sha256(p.read_bytes()).hexdigest()
+        for p, rel in _make_pyfiles().iter_members()
+    }
 
 
 def test_engine_zip_matches_source_tree():

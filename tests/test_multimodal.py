@@ -142,6 +142,80 @@ def test_accel_seam_without_libs(spark, monkeypatch):
     assert out[1]["decode_err"] is None and len(out[1]["feature"]) == 8
 
 
+def test_video_routing_is_kind_gated(spark, monkeypatch):
+    """ISO-BMFF ('ftyp') also wraps M4A audio and HEIC images — those
+    kinds must reach their own decode seam (fake in the sandbox), not
+    be forced down the video path to a guaranteed quarantine."""
+    monkeypatch.setattr(MM, "accel_image", lambda: None)
+    monkeypatch.setattr(MM, "accel_video", lambda: None)
+    rows = [
+        (0, "audio", _mp4_payload()),   # M4A-shaped: NOT video-routed
+        (1, "image", _mp4_payload()),   # HEIC-shaped: NOT video-routed
+        (2, "video", _mp4_payload()),   # real video container: seam
+    ]
+    df = spark.createDataFrame(
+        [(i, k, p, (4, 4, 5000, "x")) for i, k, p in rows], MM.MEDIA_SCHEMA
+    )
+    out = {r["media_id"]: r for r in MM.extract_features(df).collect()}
+    for mid in (0, 1):
+        assert out[mid]["decode_err"] is None
+        assert len(out[mid]["feature"]) == 8
+    assert "pyav" in out[2]["decode_err"]
+
+
+def test_unidentified_image_falls_to_fake_with_accel_present(monkeypatch):
+    """Installing Pillow must not change the output for payloads it
+    cannot identify (q37's synthetic text blobs): the accel branch
+    falls through to the same deterministic fake, byte-identical to
+    the no-Pillow run.  Identified-but-corrupt images quarantine."""
+    import numpy as np
+
+    class UnidentifiedImageError(Exception):
+        pass
+
+    class _StubPIL:
+        @staticmethod
+        def open(fp):
+            raise UnidentifiedImageError("cannot identify image file")
+
+    payload = b"blob42:deadbeefdeadbeefdeadbeef"
+    monkeypatch.setattr(MM, "accel_image", lambda: None)
+    without = MM._decode(payload, "image")
+    monkeypatch.setattr(MM, "accel_image", lambda: _StubPIL)
+    with_accel = MM._decode(payload, "image")
+    assert np.array_equal(without, with_accel)
+
+    class _CorruptPIL:
+        @staticmethod
+        def open(fp):
+            raise OSError("broken data stream when reading image file")
+
+    monkeypatch.setattr(MM, "accel_image", lambda: _CorruptPIL)
+    with pytest.raises(ValueError, match="accel image decode failed"):
+        MM._decode(payload, "image")
+
+
+def test_jpeg_12bit_precision_quarantines():
+    """SOF1 licenses 12-bit precision but this decoder is 8-bit only:
+    a 12-bit stream must raise (-> quarantine), never clip to garbage
+    with decode_err NULL."""
+    import numpy as np
+
+    from relation_extraction_cdr_spark.functions.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    rng = np.random.default_rng(5)
+    blob = bytearray(jpeg_encode(rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)))
+    i = blob.find(b"\xff\xc0")
+    assert i >= 0
+    assert blob[i + 4] == 8  # precision byte after marker + length
+    blob[i + 4] = 12
+    with pytest.raises(NotImplementedError, match="12-bit precision"):
+        jpeg_decode(bytes(blob))
+
+
 def test_accel_never_shadows_pure_python_codecs(monkeypatch):
     """PNG/JPEG/WAV decode must be bit-identical with or without Pillow:
     the magic checks win before the accel hook is ever consulted, so
