@@ -1504,6 +1504,12 @@ def jpeg_decode_coeffs(payload: bytes):
             def _block(zz, tdc, tac, idx):
                 br = state["br"]
                 size = _read_symbol(br, huff[(0, tdc)])
+                if size > 11:
+                    # T.81 F.1.2.1.1: DC diff categories 0-11 at 8-bit
+                    # precision; a larger "category" only arises from a
+                    # corrupt stream and would build an unbounded Python
+                    # int (-> OverflowError on the int64 store)
+                    raise ValueError("JPEG: invalid DC size category")
                 diff = _extend(br.bits(size), size) if size else 0
                 prev[idx] += diff
                 zz[0] = prev[idx]
@@ -1572,6 +1578,11 @@ def jpeg_decode_coeffs(payload: bytes):
                                 br = state["br"]
                                 if ah == 0:
                                     size = _read_symbol(br, huff[(0, tdc)])
+                                    if size > 11:
+                                        # T.81 F.1.2.1.1 (see baseline)
+                                        raise ValueError(
+                                            "JPEG: invalid DC size category"
+                                        )
                                     diff = (
                                         _extend(br.bits(size), size)
                                         if size
@@ -1679,8 +1690,15 @@ def jpeg_decode_coeffs(payload: bytes):
             scan = []
             for si in range(ns):
                 cid, tabs = body[1 + 2 * si], body[2 + 2 * si]
-                idx = next(i for i, c in enumerate(comps) if c[0] == cid)
-                scan.append((idx, tabs >> 4, tabs & 0xF))
+                matches = [i for i, c in enumerate(comps) if c[0] == cid]
+                if not matches:
+                    # a StopIteration here would escape the quarantine
+                    # contract (and inside a generator would be
+                    # swallowed as exhaustion)
+                    raise ValueError(
+                        f"JPEG: scan references unknown component id {cid}"
+                    )
+                scan.append((matches[0], tabs >> 4, tabs & 0xF))
             ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             segments, pos = _entropy_segments(payload, pos)
             _decode_scan(segments, scan, ss, se, ahal >> 4, ahal & 0xF)

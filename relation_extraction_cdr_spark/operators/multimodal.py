@@ -71,6 +71,22 @@ MEDIA_SCHEMA = (
     "meta struct<width:int,height:int,duration_ms:int,codec:string>"
 )
 
+# The quarantine contract: every exception type hostile bytes can drive
+# out of the codec kernels.  Single source of truth — extract_features'
+# except clause and the corruption-fuzz test
+# (tests/test_multimodal.py::test_codec_fuzz_respects_quarantine_contract)
+# both use THIS tuple, so a codec that starts raising a new type on
+# garbage input fails the fuzz loudly instead of killing Spark tasks
+# in production.
+DECODE_ERROR_TYPES = (
+    ValueError,
+    NotImplementedError,
+    struct.error,
+    zlib.error,
+    IndexError,
+    KeyError,
+)
+
 FEATURES_SCHEMA = (
     "media_id long, kind string, feature array<float>, n_frames int, "
     "decode_err string"
@@ -258,6 +274,10 @@ def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
     """
     if kind not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for media kind {kind!r}")
+    if not payload:
+        # an empty byte-mean would be NaN features with decode_err NULL
+        # — a poison row masquerading as healthy
+        raise ValueError("empty media payload")
     # float64 throughout: integer byte sums are exact in double, so the
     # per-column mean is the correctly-rounded double of the exact value
     # and the final float32 cast (schema array<float>) is reproducible by
@@ -314,8 +334,7 @@ def extract_features(media: DataFrame, frame_stride: int = 2) -> DataFrame:
                             # duration; real containers take the branch above
                             n_frames = max(1, int(r.meta["duration_ms"] // 1000) // frame_stride)
                     feat_list, err = [float(x) for x in feat], None
-                except (ValueError, NotImplementedError, struct.error,
-                        zlib.error, IndexError, KeyError) as e:
+                except DECODE_ERROR_TYPES as e:
                     feat_list, n_frames = [], 0
                     err = f"{type(e).__name__}: {e}"
                 out.append(

@@ -195,6 +195,104 @@ def test_unidentified_image_falls_to_fake_with_accel_present(monkeypatch):
         MM._decode(payload, "image")
 
 
+def test_codec_fuzz_respects_quarantine_contract():
+    """Corruption fuzz: hostile bytes driven through every codec must
+    only raise types in MM.DECODE_ERROR_TYPES (the quarantine
+    contract) — anything else would kill the Spark task in production.
+    Deterministic (seeded) subset of the larger offline sweep that
+    found and fixed two real escapes: OverflowError from an unbounded
+    DC size category and StopIteration from a scan referencing an
+    unknown component id."""
+    import numpy as np
+
+    from relation_extraction_cdr_spark.functions.codecs import (
+        avi_encode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+        png_encode,
+        png_encode_palette,
+        wav_encode,
+    )
+
+    rng = np.random.default_rng(99)
+    px = rng.integers(0, 256, (12, 10, 3)).astype(np.uint8)
+    bases = {
+        "png": (png_encode(px), "image"),
+        "png_pal": (
+            png_encode_palette(
+                rng.integers(0, 4, (9, 7)).astype(np.uint8),
+                rng.integers(0, 256, (4, 3)).astype(np.uint8),
+            ),
+            "image",
+        ),
+        "jpeg": (jpeg_encode(px), "image"),
+        "jpeg_prog": (jpeg_encode_progressive(px), "image"),
+        "jpeg_420": (
+            jpeg_encode(px, subsampling="420", restart_interval=1),
+            "image",
+        ),
+        "wav": (
+            wav_encode((rng.standard_normal(300) * 9000).astype(np.int16), 8000),
+            "audio",
+        ),
+        "avi": (
+            avi_encode(rng.integers(0, 256, (3, 6, 4, 3)).astype(np.uint8), fps=5),
+            "video",
+        ),
+    }
+    n_run = 0
+    for name, (blob, kind) in bases.items():
+        blob = bytes(blob)
+        cases = [blob[:cut] for cut in range(0, len(blob), max(1, len(blob) // 40))]
+        for _ in range(120):
+            b = bytearray(blob)
+            b[int(rng.integers(0, len(b)))] ^= int(rng.integers(1, 256))
+            cases.append(bytes(b))
+        for c in cases:
+            n_run += 1
+            try:
+                if kind == "video" and c[:4] == b"RIFF" and c[8:12] == b"AVI ":
+                    MM._decode_video(c, 2)
+                else:
+                    MM._decode(c, kind)
+            except MM.DECODE_ERROR_TYPES:
+                pass
+            # any other exception type propagates and fails the test
+    assert n_run > 1000
+
+
+def test_jpeg_hostile_stream_validation():
+    """Direct regressions for the two fuzz-found escapes: a DC size
+    category > 11 and a scan component id absent from the SOF both
+    raise ValueError (in-contract), never OverflowError/StopIteration."""
+    import numpy as np
+
+    from relation_extraction_cdr_spark.functions.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    blob = bytearray(
+        jpeg_encode(np.zeros((8, 8, 3), np.uint8))
+    )
+    # corrupt every SOS component id to one the SOF never declared
+    i = blob.find(b"\xff\xda")
+    ns = blob[i + 4]
+    for si in range(ns):
+        blob[i + 5 + 2 * si] = 0x77
+    with pytest.raises(ValueError, match="unknown component"):
+        jpeg_decode(bytes(blob))
+
+
+def test_empty_payload_quarantines(spark):
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(b""), (4, 4, 0, "x"))], MM.MEDIA_SCHEMA
+    )
+    row = MM.extract_features(df).collect()[0]
+    assert "empty media payload" in row["decode_err"]
+    assert row["feature"] == []
+
+
 def test_jpeg_12bit_precision_quarantines():
     """SOF1 licenses 12-bit precision but this decoder is 8-bit only:
     a 12-bit stream must raise (-> quarantine), never clip to garbage
