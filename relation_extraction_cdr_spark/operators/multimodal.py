@@ -141,6 +141,11 @@ def _decode(payload: bytes, kind: str) -> np.ndarray:
         samples, rate = _codecs.wav_decode(payload)
         code, bits = _codecs.wav_format(payload)
         n, ch = samples.shape
+        if n == 0:
+            # a zero-sample mean would be NaN features with decode_err
+            # NULL — poison masquerading as healthy (truncated data
+            # chunk with an intact header)
+            raise ValueError("WAV: no samples")
         s = samples.astype(np.float64)
         if code == 3:  # IEEE float: already full-scale [-1, 1]
             pass
@@ -192,6 +197,9 @@ def _pixel_feature(px: np.ndarray) -> np.ndarray:
     callers guarantee uint8/uint16 arrays — the accel branch converts
     exotic Pillow modes first)."""
     h, w, ch = px.shape
+    if h == 0 or w == 0:
+        # zero-area means would be NaN features with decode_err NULL
+        raise ValueError("image decoded to zero pixels")
     maxv = 65535.0 if px.dtype == np.uint16 else 255.0
     means = px.reshape(-1, ch).mean(axis=0) / maxv
     cmeans = [float(means[i]) if i < ch else 0.0 for i in range(4)]

@@ -239,6 +239,21 @@ def test_codec_fuzz_respects_quarantine_contract():
             avi_encode(rng.integers(0, 256, (3, 6, 4, 3)).astype(np.uint8), fps=5),
             "video",
         ),
+        # variant surfaces (16-bit / interlaced PNG, progressive+DRI
+        # JPEG, float WAV) — same contract
+        "png16": (
+            png_encode(rng.integers(0, 65536, (6, 5, 3)).astype(np.uint16)),
+            "image",
+        ),
+        "png_adam7": (png_encode(px, interlace=True), "image"),
+        "jpeg_prog_dri": (
+            jpeg_encode_progressive(px, restart_interval=2),
+            "image",
+        ),
+        "wav_f32": (
+            wav_encode(rng.standard_normal(150).astype(np.float32), 8000),
+            "audio",
+        ),
     }
     n_run = 0
     for name, (blob, kind) in bases.items():
@@ -291,6 +306,21 @@ def test_empty_payload_quarantines(spark):
     row = MM.extract_features(df).collect()[0]
     assert "empty media payload" in row["decode_err"]
     assert row["feature"] == []
+
+
+def test_degenerate_decodes_quarantine_not_nan():
+    """A structurally valid payload that decodes to ZERO samples/pixels
+    must quarantine — a NaN feature with decode_err NULL is poison
+    masquerading as healthy."""
+    import numpy as np
+
+    from relation_extraction_cdr_spark.functions.codecs import wav_encode
+
+    empty_wav = wav_encode(np.zeros(0, dtype=np.int16), 8000)
+    with pytest.raises(ValueError, match="no samples"):
+        MM._decode(bytes(empty_wav), "audio")
+    with pytest.raises(ValueError, match="zero pixels"):
+        MM._pixel_feature(np.zeros((0, 4, 3), dtype=np.uint8))
 
 
 def test_jpeg_12bit_precision_quarantines():
